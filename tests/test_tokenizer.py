@@ -1,0 +1,69 @@
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from clip_calibration_tpu.models.tokenizer import (
+    CLIPTokenizer, tokenize, CONTEXT_LENGTH)
+
+FIXTURE = osp.join(osp.dirname(__file__), "fixtures",
+                   "tokenizer_golden.json")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return CLIPTokenizer()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+def test_vocab_size_and_specials(tok, golden):
+    assert tok.vocab_size == golden["vocab_size"] == 49408
+    assert tok.sot_id == golden["sot"] == 49406
+    assert tok.eot_id == golden["eot"] == 49407
+
+
+def test_golden_encode(tok, golden):
+    for case in golden["cases"]:
+        assert tok.encode(case["text"]) == case["tokens"], case["text"]
+
+
+def test_golden_decode(tok, golden):
+    for case in golden["cases"]:
+        assert tok.decode(case["tokens"]) == case["decoded"], case["text"]
+
+
+def test_tokenize_array_shape():
+    arr = tokenize(["a photo of a cat.", "a photo of a dog."])
+    assert arr.shape == (2, CONTEXT_LENGTH)
+    assert arr.dtype == np.int32
+    assert arr[0, 0] == 49406
+    # eot is the max id in each row (reference pools at text.argmax(-1))
+    assert arr[0].max() == 49407
+    assert arr[0].argmax() == 7  # sot + 6 tokens -> eot at position 7
+
+
+def test_tokenize_single_string():
+    arr = tokenize("hello world")
+    assert arr.shape == (1, CONTEXT_LENGTH)
+
+
+def test_tokenize_overflow_raises_and_truncates():
+    long_text = "cat " * 100
+    with pytest.raises(RuntimeError):
+        tokenize(long_text)
+    arr = tokenize(long_text, truncate=True)
+    assert arr.shape == (1, CONTEXT_LENGTH)
+    assert arr[0, -1] == 49407
+
+
+def test_unicode_roundtrip(tok):
+    # non-ASCII survives the byte-level scheme
+    s = "café naïve über"
+    ids = tok.encode(s)
+    assert tok.decode(ids).strip() == "café naïve über"
