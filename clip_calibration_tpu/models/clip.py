@@ -1,0 +1,370 @@
+"""CLIP dual-tower model, TPU-native.
+
+Functional re-design of the reference's prompt-injectable CLIP
+(``/root/reference/clip/model.py``):
+
+- **pure functions over explicit param pytrees** — no module state. Prompt
+  vectors are *inputs*, not buried parameters, so trainers differentiate
+  only their own prompt pytree while the frozen backbone rides along in
+  closure (the reference instead freezes via ``requires_grad_(False)``,
+  ``trainers/classification/coop.py:250-253``).
+- **batch-first [B, L, D]**, ``lax.scan`` over stacked per-layer weights
+  (O(1) compile in depth), patchify-as-matmul instead of conv (feeds the
+  MXU directly), bf16 compute with fp32 LayerNorm/softmax.
+- **uniform prompt-injection interface** replacing the reference's three
+  block variants (``ResidualAttentionBlock{,_IVLP,_MaPLe}``,
+  ``clip/model.py:167-331``): each scanned layer may splice a per-layer
+  prompt block into the token sequence, controlled by a static depth.
+  Vision prompts live at the END of the sequence; text prompts at
+  positions [1, 1+n_ctx) — matching the reference's splice coordinates.
+
+Parity targets: ``encode_image``/``encode_text`` equal the reference within
+mixed-precision tolerance; EOT pooling via argmax (``clip/model.py:611``);
+``logit_scale`` init ln(1/0.07) (``clip/model.py:552``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import (causal_mask, layer_norm, multi_head_attention,
+                             quick_gelu)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Union[int, Tuple[int, int, int, int]]
+    vision_width: int
+    vision_patch_size: Optional[int]
+    transformer_width: int
+    transformer_heads: int
+    transformer_layers: int
+    context_length: int = 77
+    vocab_size: int = 49408
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def vision_seq_len(self) -> int:
+        return self.grid_size ** 2 + 1
+
+
+# Architecture hyperparameters of the public OpenAI checkpoints; the
+# reference infers these from state-dict shapes (``clip/model.py:656-699``)
+# — ``config_from_torch_state_dict`` below does the same for imports.
+PRESETS: Dict[str, CLIPConfig] = {
+    "ViT-B/16": CLIPConfig(512, 224, 12, 768, 16, 512, 8, 12),
+    "ViT-B/32": CLIPConfig(512, 224, 12, 768, 32, 512, 8, 12),
+    "ViT-L/14": CLIPConfig(768, 224, 24, 1024, 14, 768, 12, 12),
+    "RN50": CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 512, 8, 12),
+    "RN101": CLIPConfig(512, 224, (3, 4, 23, 3), 64, None, 512, 8, 12),
+}
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_blocks(rng, n_layers: int, width: int) -> Params:
+    """Stacked transformer block params [L, ...] (reference init
+    distributions, ``clip/model.py:572-580``)."""
+    ks = jax.random.split(rng, 4)
+    proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    f32 = jnp.float32
+    return {
+        "ln_1": {"scale": jnp.ones((n_layers, width), f32),
+                 "bias": jnp.zeros((n_layers, width), f32)},
+        "ln_2": {"scale": jnp.ones((n_layers, width), f32),
+                 "bias": jnp.zeros((n_layers, width), f32)},
+        "attn": {
+            "wqkv": (jax.random.normal(ks[0], (n_layers, width, 3 * width), f32)
+                     * attn_std),
+            "bqkv": jnp.zeros((n_layers, 3 * width), f32),
+            "wo": (jax.random.normal(ks[1], (n_layers, width, width), f32)
+                   * proj_std),
+            "bo": jnp.zeros((n_layers, width), f32),
+        },
+        "mlp": {
+            "w_fc": (jax.random.normal(ks[2], (n_layers, width, 4 * width), f32)
+                     * fc_std),
+            "b_fc": jnp.zeros((n_layers, 4 * width), f32),
+            "w_proj": (jax.random.normal(
+                ks[3], (n_layers, 4 * width, width), f32) * proj_std),
+            "b_proj": jnp.zeros((n_layers, width), f32),
+        },
+    }
+
+
+def init_clip(rng: jax.Array, cfg: CLIPConfig,
+              dtype=jnp.bfloat16) -> Params:
+    """Random-initialized CLIP params (matmul weights in ``dtype``,
+    norms/embeddings fp32 — mirroring the reference's convert_weights
+    fp16 policy, ``clip/model.py:632-653``)."""
+    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
+    tw = cfg.transformer_width
+
+    if not cfg.is_vit:
+        from .resnet import init_modified_resnet
+        visual = init_modified_resnet(kv, cfg, dtype)
+    else:
+        vw = cfg.vision_width
+        p = cfg.vision_patch_size
+        scale = vw ** -0.5
+        kp, kc, kpos, kproj = jax.random.split(kv, 4)
+        visual = {
+            # patchify kernel [(p*p*3), vw]: torch conv1 reshaped
+            "patch_kernel": (jax.random.normal(kp, (p * p * 3, vw))
+                             * scale).astype(dtype),
+            "class_embedding": (jax.random.normal(kc, (vw,), jnp.float32)
+                                * scale),
+            "positional_embedding": (jax.random.normal(
+                kpos, (cfg.vision_seq_len, vw), jnp.float32) * scale),
+            "ln_pre": {"scale": jnp.ones((vw,), jnp.float32),
+                       "bias": jnp.zeros((vw,), jnp.float32)},
+            "blocks": jax.tree.map(
+                lambda a: a.astype(dtype) if a.ndim >= 3 else a,
+                _init_blocks(k1, cfg.vision_layers, vw)),
+            "ln_post": {"scale": jnp.ones((vw,), jnp.float32),
+                        "bias": jnp.zeros((vw,), jnp.float32)},
+            "proj": (jax.random.normal(kproj, (vw, cfg.embed_dim))
+                     * scale).astype(dtype),
+        }
+
+    text = {
+        "token_embedding": (jax.random.normal(
+            kt, (cfg.vocab_size, tw), jnp.float32) * 0.02),
+        "positional_embedding": (jax.random.normal(
+            k2, (cfg.context_length, tw), jnp.float32) * 0.01),
+        "blocks": jax.tree.map(
+            lambda a: a.astype(dtype) if a.ndim >= 3 else a,
+            _init_blocks(k3, cfg.transformer_layers, tw)),
+        "ln_final": {"scale": jnp.ones((tw,), jnp.float32),
+                     "bias": jnp.zeros((tw,), jnp.float32)},
+        "text_projection": (jax.random.normal(
+            k4, (tw, cfg.embed_dim)) * tw ** -0.5).astype(dtype),
+    }
+
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Transformer with uniform prompt injection
+# ---------------------------------------------------------------------------
+
+def _splice_text(x: jnp.ndarray, prompt: jnp.ndarray) -> jnp.ndarray:
+    """Replace x[:, 1:1+n_ctx] with prompt (text-side splice,
+    reference ``clip/model.py:247-256``)."""
+    n_ctx = prompt.shape[0]
+    tiled = jnp.broadcast_to(prompt.astype(x.dtype),
+                             (x.shape[0],) + prompt.shape)
+    return jnp.concatenate([x[:, :1], tiled, x[:, 1 + n_ctx:]], axis=1)
+
+
+def _splice_vision(x: jnp.ndarray, prompt: jnp.ndarray) -> jnp.ndarray:
+    """Replace the trailing n_ctx tokens with prompt (vision-side splice,
+    reference ``clip/model.py:236-243``)."""
+    n_ctx = prompt.shape[0]
+    tiled = jnp.broadcast_to(prompt.astype(x.dtype),
+                             (x.shape[0],) + prompt.shape)
+    return jnp.concatenate([x[:, :x.shape[1] - n_ctx], tiled], axis=1)
+
+
+def transformer(
+    blocks: Params,
+    x: jnp.ndarray,
+    n_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    deep_prompts: Optional[jnp.ndarray] = None,
+    deep_prompt_depth: int = 0,
+    text_side: bool = False,
+) -> jnp.ndarray:
+    """Scan the stacked residual blocks over x [B, L, D].
+
+    deep_prompts: [n_layers, n_ctx, D] per-layer prompt tokens. Layer i in
+    [1, deep_prompt_depth) splices prompt row i-1 into the sequence before
+    attention (layer 0 never splices: the shallow prompt is already in x).
+    ``deep_prompt_depth`` is static so XLA sees fixed control flow.
+    """
+    n_layers = blocks["ln_1"]["scale"].shape[0]
+
+    def body(carry, scanned):
+        h = carry
+        p, prompt, idx = scanned
+        if deep_prompts is not None:
+            splice = _splice_text if text_side else _splice_vision
+            h = jnp.where((idx > 0) & (idx < deep_prompt_depth),
+                          splice(h, prompt), h)
+        h = h + multi_head_attention(
+            layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
+            p["attn"]["wqkv"], p["attn"]["bqkv"],
+            p["attn"]["wo"], p["attn"]["bo"], n_heads, mask)
+        y = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
+        y = quick_gelu(jnp.dot(y, p["mlp"]["w_fc"].astype(y.dtype))
+                       + p["mlp"]["b_fc"].astype(y.dtype))
+        y = jnp.dot(y, p["mlp"]["w_proj"].astype(y.dtype)) \
+            + p["mlp"]["b_proj"].astype(y.dtype)
+        return h + y, None
+
+    if deep_prompts is None:
+        prompts = jnp.zeros((n_layers, 0, x.shape[-1]), x.dtype)
+    else:
+        # pad/trim the prompt stack to one row per layer (row i -> layer i,
+        # layer 0 row stays zero and is never spliced)
+        n_ctx = deep_prompts.shape[1]
+        rows = min(deep_prompts.shape[0], n_layers - 1)
+        prompts = jnp.zeros((n_layers, n_ctx, x.shape[-1]), x.dtype)
+        prompts = prompts.at[1:1 + rows].set(
+            deep_prompts.astype(x.dtype)[:rows])
+
+    idxs = jnp.arange(n_layers)
+    out, _ = jax.lax.scan(body, x, (blocks, prompts, idxs))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, tokens: jnp.ndarray,
+                 dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Token embedding lookup -> [N, L, D] in compute dtype."""
+    return params["text"]["token_embedding"][tokens].astype(dtype)
+
+
+def encode_text_embedded(
+    params: Params,
+    cfg: CLIPConfig,
+    x: jnp.ndarray,
+    eot_pos: jnp.ndarray,
+    *,
+    deep_prompts: Optional[jnp.ndarray] = None,
+    deep_prompt_depth: int = 0,
+) -> jnp.ndarray:
+    """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
+    path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
+
+    eot_pos: [N] index of the EOT token per row (pooling position).
+    """
+    tp = params["text"]
+    x = x + tp["positional_embedding"].astype(x.dtype)
+    mask = causal_mask(cfg.context_length)
+    x = transformer(tp["blocks"], x, cfg.transformer_heads, mask,
+                    deep_prompts=deep_prompts,
+                    deep_prompt_depth=deep_prompt_depth, text_side=True)
+    x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+    pooled = x[jnp.arange(x.shape[0]), eot_pos]
+    return jnp.dot(pooled, tp["text_projection"].astype(pooled.dtype))
+
+
+def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,
+                dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Raw-token text encode (reference ``clip/model.py:598-613``)."""
+    x = embed_tokens(params, tokens, dtype)
+    eot_pos = jnp.argmax(tokens, axis=-1)
+    return encode_text_embedded(params, cfg, x, eot_pos)
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, n_patches, p*p*3] — the conv-as-matmul layout.
+
+    Patch vector ordering is (ph, pw, c) to match the converted torch conv
+    kernel (see weights.convert_torch_clip).
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    *,
+    shallow_prompts: Optional[jnp.ndarray] = None,
+    deep_prompts: Optional[jnp.ndarray] = None,
+    deep_prompt_depth: int = 0,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Vision tower. images: [B, H, W, 3] (NHWC, preprocessed).
+
+    shallow_prompts: [n_ctx, width] tokens appended after the positional
+    embedding (VPT/IVLP/MaPLe shallow path, ``clip/model.py:404-408``).
+    deep_prompts: [depth-1, n_ctx, width] per-layer replacements.
+    """
+    if not cfg.is_vit:
+        from .resnet import modified_resnet_forward
+        return modified_resnet_forward(params["visual"], cfg,
+                                       images.astype(dtype))
+    vp = params["visual"]
+    x = patchify(images.astype(dtype), cfg.vision_patch_size)
+    x = jnp.dot(x, vp["patch_kernel"].astype(x.dtype))
+    cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype),
+                           (x.shape[0], 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["positional_embedding"].astype(x.dtype)
+    if shallow_prompts is not None:
+        tiled = jnp.broadcast_to(
+            shallow_prompts.astype(x.dtype),
+            (x.shape[0],) + shallow_prompts.shape)
+        x = jnp.concatenate([x, tiled], axis=1)
+    x = layer_norm(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+    x = transformer(vp["blocks"], x, cfg.vision_heads, None,
+                    deep_prompts=deep_prompts,
+                    deep_prompt_depth=deep_prompt_depth, text_side=False)
+    x = layer_norm(x[:, 0], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    return jnp.dot(x, vp["proj"].astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Scoring
+# ---------------------------------------------------------------------------
+
+def normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                keepdims=True) + eps).astype(x.dtype)
+
+
+def cosine_logits(image_features: jnp.ndarray, text_features: jnp.ndarray,
+                  logit_scale: jnp.ndarray) -> jnp.ndarray:
+    """scale * normalize(img) @ normalize(txt).T in fp32 (logit tails matter
+    for calibration metrics — reference computes this in fp16,
+    ``trainers/classification/coop.py:212-220``)."""
+    img = normalize(image_features).astype(jnp.float32)
+    txt = normalize(text_features).astype(jnp.float32)
+    scale = jnp.exp(logit_scale.astype(jnp.float32))
+    return scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)

@@ -1,0 +1,87 @@
+"""Multi-head attention for the CLIP towers.
+
+TPU-first design notes:
+- batch-first [B, L, D] layout end to end (no NLD<->LND permutes as in the
+  reference's ``clip/model.py:605-607``) — XLA picks layouts.
+- single fused [D, 3D] QKV projection feeding the MXU, fp32 softmax
+  accumulation, bf16 elsewhere (reference computes fp16 with torch MHA,
+  ``clip/model.py:167-188``).
+- sequence lengths here are tiny (77 text / ~197 vision tokens), so a
+  single fused XLA dot-softmax-dot is at speed of light for HBM traffic;
+  a Pallas flash kernel (ops/pallas_attention.py) is used when the padded
+  sequence blocks align and we're on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask matching the reference text mask
+    (``clip/model.py:585-591``): 0 on/below diagonal, -inf above."""
+    neg = jnp.finfo(dtype).min
+    return jnp.triu(jnp.full((length, length), neg, dtype=dtype), k=1)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    n_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Self-attention over [B, L, D].
+
+    Args:
+      x: [B, L, D] activations (any float dtype; compute follows x.dtype
+         with fp32 softmax).
+      wqkv: [D, 3D] fused projection (torch ``in_proj_weight`` transposed).
+      bqkv: [3D].
+      wo: [D, D] output projection (torch ``out_proj.weight`` transposed).
+      bo: [D].
+      mask: optional [L, L] additive fp32 mask.
+    """
+    B, L, D = x.shape
+    head_dim = D // n_heads
+    qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)  # [B,L,3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = 1.0 / (head_dim ** 0.5)
+    # fp32 accumulation on the MXU for the score matmul
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm computed in fp32 regardless of input dtype, cast back
+    (reference fp16-safe LayerNorm, ``clip/model.py:153-159``)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(orig)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) (reference QuickGELU, ``clip/model.py:162-164``)."""
+    return x * jax.nn.sigmoid(1.702 * x)

@@ -8,11 +8,16 @@ bench.py and the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell presets axon (TPU)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS; force CPU via config too.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,178 @@
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_calibration_tpu.models import clip as M
+from clip_calibration_tpu.models.weights import (
+    convert_torch_clip, flatten_params, load_params, save_params,
+    unflatten_params)
+
+FIXTURE = osp.join(osp.dirname(__file__), "fixtures", "clip_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    data = np.load(FIXTURE)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    return {
+        "sd": sd,
+        "imgs": data["imgs"],
+        "toks": data["toks"],
+        "img_f": data["img_f"],
+        "txt_f": data["txt_f"],
+        "logits_per_image": data["logits_per_image"],
+    }
+
+
+def _fixture_cfg(golden):
+    import dataclasses
+    from clip_calibration_tpu.models.weights import (
+        config_from_torch_state_dict)
+    cfg = config_from_torch_state_dict(golden["sd"])
+    # heads aren't recoverable from shapes for the tiny 48-wide fixture
+    # (real checkpoints use width//64); the fixture model used 4 heads
+    return dataclasses.replace(cfg, transformer_heads=4)
+
+
+@pytest.fixture(scope="module")
+def converted(golden):
+    cfg = _fixture_cfg(golden)
+    params, cfg = convert_torch_clip(golden["sd"], "float32", cfg=cfg)
+    return params, cfg
+
+
+def test_config_inference(golden):
+    cfg = _fixture_cfg(golden)
+    assert cfg.embed_dim == 32
+    assert cfg.vision_layers == 2
+    assert cfg.vision_width == 64
+    assert cfg.vision_patch_size == 8
+    assert cfg.image_resolution == 32
+    assert cfg.transformer_width == 48
+    assert cfg.transformer_layers == 2
+    assert cfg.vocab_size == 500
+
+
+def test_encode_image_parity(golden, converted):
+    params, cfg = converted
+    out = M.encode_image(params, cfg, jnp.asarray(golden["imgs"]),
+                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), golden["img_f"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encode_text_parity(golden, converted):
+    params, cfg = converted
+    out = M.encode_text(params, cfg, jnp.asarray(golden["toks"]),
+                        dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), golden["txt_f"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cosine_logits_parity(golden, converted):
+    params, cfg = converted
+    img_f = M.encode_image(params, cfg, jnp.asarray(golden["imgs"]),
+                           dtype=jnp.float32)
+    txt_f = M.encode_text(params, cfg, jnp.asarray(golden["toks"]),
+                          dtype=jnp.float32)
+    logits = M.cosine_logits(img_f, txt_f, params["logit_scale"])
+    np.testing.assert_allclose(np.asarray(logits),
+                               golden["logits_per_image"],
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_bf16_encode_close(golden, converted):
+    """bf16 compute should track fp32 within loose tolerance."""
+    params32, cfg = converted
+    params16, _ = convert_torch_clip(golden["sd"], "bfloat16")
+    out32 = M.encode_image(params32, cfg, jnp.asarray(golden["imgs"]),
+                           dtype=jnp.float32)
+    out16 = M.encode_image(params16, cfg, jnp.asarray(golden["imgs"]),
+                           dtype=jnp.bfloat16)
+    cos = np.sum(
+        np.asarray(out32) * np.asarray(out16, np.float32), -1) / (
+        np.linalg.norm(np.asarray(out32), axis=-1)
+        * np.linalg.norm(np.asarray(out16, np.float32), axis=-1))
+    assert np.all(cos > 0.99)
+
+
+def test_random_init_shapes():
+    cfg = M.PRESETS["ViT-B/16"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    assert params["visual"]["patch_kernel"].shape == (16 * 16 * 3, 768)
+    assert params["visual"]["blocks"]["attn"]["wqkv"].shape == (
+        12, 768, 3 * 768)
+    assert params["text"]["token_embedding"].shape == (49408, 512)
+    assert params["text"]["text_projection"].shape == (512, 512)
+    assert float(params["logit_scale"]) == pytest.approx(np.log(1 / 0.07))
+
+
+def test_prompt_injection_changes_output(golden, converted):
+    """Deep prompts must change features; depth=0 must be a no-op."""
+    params, cfg = converted
+    imgs = jnp.asarray(golden["imgs"])
+    rng = jax.random.PRNGKey(0)
+    shallow = jax.random.normal(rng, (4, cfg.vision_width)) * 0.02
+    deep = jax.random.normal(rng, (1, 4, cfg.vision_width)) * 0.02
+
+    base = M.encode_image(params, cfg, imgs, dtype=jnp.float32)
+    with_shallow = M.encode_image(params, cfg, imgs,
+                                  shallow_prompts=shallow,
+                                  dtype=jnp.float32)
+    with_deep = M.encode_image(params, cfg, imgs, shallow_prompts=shallow,
+                               deep_prompts=deep, deep_prompt_depth=2,
+                               dtype=jnp.float32)
+    assert not np.allclose(np.asarray(base), np.asarray(with_shallow))
+    assert not np.allclose(np.asarray(with_shallow), np.asarray(with_deep))
+
+    # depth 0/1 => no splice: identical to shallow-only
+    no_splice = M.encode_image(params, cfg, imgs, shallow_prompts=shallow,
+                               deep_prompts=deep, deep_prompt_depth=1,
+                               dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(no_splice),
+                               np.asarray(with_shallow), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_text_deep_prompt_splice_semantics(golden, converted):
+    """A text deep prompt at layer 1 replaces positions [1, 1+n_ctx) —
+    outputs pooled at EOT must differ from the unprompted run."""
+    params, cfg = converted
+    toks = jnp.asarray(golden["toks"])
+    x = M.embed_tokens(params, toks, jnp.float32)
+    eot = jnp.argmax(toks, axis=-1)
+    deep = jax.random.normal(jax.random.PRNGKey(1), (1, 4, cfg.transformer_width))
+    base = M.encode_text_embedded(params, cfg, x, eot)
+    prompted = M.encode_text_embedded(params, cfg, x, eot,
+                                      deep_prompts=deep,
+                                      deep_prompt_depth=2)
+    assert not np.allclose(np.asarray(base), np.asarray(prompted))
+
+
+def test_save_load_roundtrip(tmp_path, converted):
+    params, _ = converted
+    path = str(tmp_path / "clip.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    flat_a = flatten_params(params)
+    flat_b = flatten_params(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]))
+
+
+def test_save_load_bf16_roundtrip(tmp_path, golden):
+    params, _ = convert_torch_clip(golden["sd"], "bfloat16")
+    path = str(tmp_path / "clip_bf16.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    pk = loaded["visual"]["patch_kernel"]
+    assert str(pk.dtype) == "bfloat16"
+    np.testing.assert_array_equal(
+        np.asarray(params["visual"]["patch_kernel"]).view(np.uint16),
+        np.asarray(pk).view(np.uint16))
