@@ -1,0 +1,92 @@
+"""Density-ratio (ProCal) calibration.
+
+Parity target: ``/root/reference/trainers/calibration/density_ratio_calibration.py:29-117``.
+Fits 2-D kernel density estimates over (confidence, proximity) separately
+for correctly and incorrectly classified validation samples, then applies
+Bayes' rule at predict time:
+
+    p(correct | conf, prox) = d_true / (d_true + d_false * ratio)
+
+The reference uses ``statsmodels.nonparametric.KDEMultivariate`` with the
+normal-reference bandwidth; statsmodels is not a dependency here, so an
+equivalent product-Gaussian KDE with Scott's normal-reference rule
+(bw_j = 1.06 * sigma_j * n^(-1/(d+4)), the same rule statsmodels applies
+for var_type='cc') is implemented in-line, evaluated as one vectorized
+numpy broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class GaussianKDE2D:
+    """Product-Gaussian KDE over [n, 2] data, normal-reference bandwidth."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float64)  # [n, 2]
+        n, d = self.data.shape
+        sigma = np.std(self.data, axis=0, ddof=1)
+        sigma = np.maximum(sigma, 1e-6)
+        self.bw = 1.06 * sigma * n ** (-1.0 / (d + 4))
+
+    def pdf(self, points: np.ndarray, chunk: int = 4096) -> np.ndarray:
+        points = np.asarray(points, np.float64)
+        out = np.empty(len(points))
+        norm = np.prod(self.bw) * (2 * np.pi) ** (self.data.shape[1] / 2)
+        for i in range(0, len(points), chunk):
+            p = points[i:i + chunk]
+            z = (p[:, None, :] - self.data[None, :, :]) / self.bw
+            k = np.exp(-0.5 * np.sum(z ** 2, axis=-1))
+            out[i:i + chunk] = k.mean(axis=1) / norm
+        return out
+
+
+class DensityRatioCalibration:
+    def __init__(self):
+        self.dens_true: GaussianKDE2D | None = None
+        self.dens_false: GaussianKDE2D | None = None
+        self.false_true_ratio: float = 0.0
+
+    def fit(self, probs, preds, true, proximity) -> None:
+        probs = np.asarray(probs, np.float64)
+        assert np.all(probs >= 0) and np.all(probs <= 1), (
+            "All elements in 'probs' should be in the range [0, 1].")
+        preds = np.asarray(preds)
+        true = np.asarray(true)
+        proximity = np.asarray(proximity, np.float64)
+        confs = np.max(probs, axis=-1)
+        correct = preds == true
+
+        self.dens_true = GaussianKDE2D(
+            np.stack([confs[correct], proximity[correct]], axis=1))
+        self.dens_false = GaussianKDE2D(
+            np.stack([confs[~correct], proximity[~correct]], axis=1))
+        self.false_true_ratio = float((~correct).sum()) / float(
+            correct.sum())
+
+    def predict(self, probs, proximities) -> np.ndarray:
+        probs = np.asarray(probs, np.float64)
+        assert np.all(probs >= 0) and np.all(probs <= 1), (
+            "All elements in 'probs' should be in the range [0, 1].")
+        proximities = np.asarray(proximities, np.float64)
+        preds = np.argmax(probs, axis=-1)
+        confs = np.max(probs, axis=-1)
+
+        data = np.stack([confs, proximities], axis=1)
+        d_true = self.dens_true.pdf(data)
+        d_false = self.dens_false.pdf(data)
+        eps = 1e-10
+        conf_cal = d_true / np.maximum(
+            d_true + d_false * self.false_true_ratio, eps)
+
+        # redistribute the non-argmax mass to sum to 1 - conf_cal
+        out = probs.copy()
+        mask = np.ones_like(out, dtype=bool)
+        mask[np.arange(len(out)), preds] = False
+        out = out * mask
+        rest = out.sum(axis=-1)
+        rest[rest == 0] = 1.0
+        out = out * ((1 - conf_cal) / rest)[:, None]
+        out[np.arange(len(out)), preds] = conf_cal
+        return out

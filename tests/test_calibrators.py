@@ -1,0 +1,226 @@
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from clip_calibration_tpu.trainers.calibration.dac import (
+    DistanceAwareCalibration)
+from clip_calibration_tpu.trainers.calibration.proximity import (
+    get_knn_dists, get_val_image_knn_dists, proximity_from_dists)
+from clip_calibration_tpu.trainers.calibration.binning import (
+    HistogramBinning, IsotonicRegression, MultiIsotonicRegression)
+from clip_calibration_tpu.trainers.calibration.bin_mean_shift import (
+    BinMeanShift)
+from clip_calibration_tpu.trainers.calibration.density_ratio import (
+    DensityRatioCalibration)
+
+FIXDIR = osp.join(osp.dirname(__file__), "fixtures")
+
+
+# ---------------------------------------------------------------- DAC
+
+def test_dac_fit_parity():
+    with open(osp.join(FIXDIR, "dac_golden.json")) as f:
+        g = json.load(f)
+    dac = DistanceAwareCalibration()
+    dac.fit(np.array(g["base_zs"]), np.array(g["cur_zs"]),
+            np.array(g["base_t"]), np.array(g["cur_t"]), k=g["k"])
+    np.testing.assert_allclose(dac.class_confidence,
+                               np.array(g["class_confidence"]),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_dac_predict_scales_argmax_row():
+    dac = DistanceAwareCalibration()
+    dac.class_confidence = np.array([0.5, 1.0, 2.0])
+    logits = np.array([[3.0, 1.0, 0.0],   # argmax 0 -> x0.5
+                       [0.0, 5.0, 1.0],   # argmax 1 -> x1.0
+                       [0.0, 1.0, 4.0]])  # argmax 2 -> x2.0
+    out = dac.predict(logits)
+    np.testing.assert_allclose(out[0], logits[0] * 0.5)
+    np.testing.assert_allclose(out[1], logits[1])
+    np.testing.assert_allclose(out[2], logits[2] * 2.0)
+
+
+# ---------------------------------------------------------------- KNN
+
+def test_knn_dists_against_bruteforce(rng):
+    base = rng.normal(size=(100, 16)).astype(np.float32)
+    cur = rng.normal(size=(37, 16)).astype(np.float32)
+    got = get_knn_dists(base, cur, 5, chunk=16)
+    # brute force
+    d = np.linalg.norm(cur[:, None] - base[None], axis=-1)
+    want = np.sort(d, axis=1)[:, :5]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_val_self_knn_excludes_self(rng):
+    feats = rng.normal(size=(50, 8)).astype(np.float32)
+    got = get_val_image_knn_dists(feats, 3)
+    assert got.shape == (50, 3)
+    assert np.all(got > 1e-5)  # self distance (0) excluded
+    d = np.linalg.norm(feats[:, None] - feats[None], axis=-1)
+    want = np.sort(d, axis=1)[:, 1:4]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_proximity_from_dists():
+    d = np.array([[1.0, 2.0], [0.0, 0.0]])
+    np.testing.assert_allclose(proximity_from_dists(d),
+                               [np.exp(-1.5), 1.0])
+
+
+# ---------------------------------------------------------------- binning
+
+def _synthetic_probs(rng, n=2000, c=6, acc=0.7, overconf=1.5):
+    logits = rng.normal(0, 2, (n, c)) * overconf
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    preds = probs.argmax(1)
+    labels = np.where(rng.random(n) < acc, preds, rng.integers(0, c, n))
+    return probs, labels
+
+
+def test_histogram_binning_reduces_ece(rng):
+    from clip_calibration_tpu.tools.metrics import ECE
+    probs, labels = _synthetic_probs(rng)
+    hb = HistogramBinning(bins=10)
+    out = hb.fit_transform(probs, labels)
+    assert out.shape == probs.shape
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-9)
+    conf0 = probs.max(1)
+    conf1 = out.max(1)
+    pred0, pred1 = probs.argmax(1), out.argmax(1)
+    assert ECE(conf1, pred1, labels) < ECE(conf0, pred0, labels)
+
+
+def test_isotonic_regression_reduces_ece(rng):
+    from clip_calibration_tpu.tools.metrics import ECE
+    probs, labels = _synthetic_probs(rng)
+    iso = IsotonicRegression()
+    out = iso.fit(probs, labels).transform(probs)
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-9)
+    assert ECE(out.max(1), out.argmax(1), labels) < \
+        ECE(probs.max(1), probs.argmax(1), labels)
+
+
+def test_multi_isotonic_parity_formula(rng):
+    """Exact check against the reference Mix-n-Match formula using
+    sklearn's isotonic directly."""
+    from sklearn.isotonic import IsotonicRegression as SkIso
+    probs, labels = _synthetic_probs(rng, n=300, c=4)
+    mir = MultiIsotonicRegression()
+    out = mir.fit_transform(probs, labels)
+    # reference formula
+    p = np.exp(probs) / np.exp(probs).sum(1, keepdims=True)
+    onehot = np.zeros_like(p)
+    onehot[np.arange(len(labels)), labels] = 1
+    iso = SkIso(out_of_bounds="clip")
+    want = iso.fit_transform(p.flatten(), onehot.flatten()).reshape(
+        p.shape) + 1e-9 * p
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_bin_mean_shift_roundtrip(rng):
+    probs, labels = _synthetic_probs(rng, n=600, c=5)
+    prox = rng.gamma(2.0, 1.0, 600)
+    bms = BinMeanShift("multi_isotonic_regression", MultiIsotonicRegression,
+                       bin_strategy="quantile", proximity_bin=5)
+    out = bms.fit_transform(probs, prox, labels)
+    assert out.shape == probs.shape
+    out2 = bms.transform(probs, prox)
+    assert out2.shape == probs.shape
+    # scatter-back ordering: transform of identical inputs must be
+    # deterministic and aligned with input rows
+    np.testing.assert_allclose(out2, bms.transform(probs, prox))
+
+
+def test_bin_mean_shift_kmeans_and_uniform(rng):
+    probs, labels = _synthetic_probs(rng, n=400, c=4)
+    prox = rng.random(400)
+    for strat in ("kmeans", "uniform"):
+        bms = BinMeanShift("isotonic_regression", IsotonicRegression,
+                           bin_strategy=strat, proximity_bin=3)
+        out = bms.fit_transform(probs, prox, labels)
+        assert out.shape == probs.shape
+
+
+# ---------------------------------------------------------------- ProCal
+
+def test_density_ratio_calibration(rng):
+    probs, labels = _synthetic_probs(rng, n=1500, c=5)
+    preds = probs.argmax(1)
+    correct = preds == labels
+    # proximity correlated with correctness
+    prox = np.where(correct, rng.normal(0.7, 0.1, 1500),
+                    rng.normal(0.3, 0.1, 1500)).clip(0, 1)
+    cal = DensityRatioCalibration()
+    cal.fit(probs, preds, labels, prox)
+    out = cal.predict(probs, prox)
+    assert out.shape == probs.shape
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-8)
+    # high-proximity (likely-correct) samples get higher calibrated conf
+    hi = out[np.arange(1500), preds][prox > 0.6].mean()
+    lo = out[np.arange(1500), preds][prox < 0.4].mean()
+    assert hi > lo
+
+
+# ---------------------------------------------------------------- facade
+
+def test_vl_calibration_facade(rng):
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.trainers.calibration.vl_calibrator import (
+        VLCalibration)
+    cfg = get_cfg_default()
+    n, c = 400, 8
+    probs, labels = _synthetic_probs(rng, n=n, c=c)
+    logits = np.log(probs + 1e-12) * 3
+    knn = rng.gamma(2.0, 0.5, (n, 5))
+    val_dict = {
+        "val_logits": logits, "val_labels": labels,
+        "val_image_knn_dists": knn,
+        "val_image_features": rng.normal(size=(n, 16)),
+        "val_text_features": rng.normal(size=(c, 16)),
+    }
+    tf = {k: rng.normal(size=(c, 16)) for k in
+          ["base_text_features_zs", "current_text_features_zs",
+           "base_text_features_tuned", "current_text_features_tuned"]}
+
+    test_logits = logits[:100]
+    test_prox = np.exp(-knn.mean(1))[:100]
+
+    # plain softmax (no calibrators)
+    cal = VLCalibration(cfg, None, None, False, False, val_dict, tf)
+    cal.fit()
+    out = cal.predict(test_logits, test_prox)
+    from scipy.special import softmax
+    np.testing.assert_allclose(out, softmax(test_logits, axis=-1))
+
+    # DAC on
+    cal = VLCalibration(cfg, None, None, True, False, val_dict, tf)
+    cal.fit()
+    out_dac = cal.predict(test_logits, test_prox)
+    assert out_dac.shape == out.shape
+    assert not np.allclose(out_dac, out)
+
+    # bin_based + each calibrator name
+    for name in ("histogram_binning", "isotonic_regression",
+                 "multi_isotonic_regression"):
+        cal = VLCalibration(cfg, "bin_based", name, False, False,
+                            val_dict, tf)
+        cal.fit()
+        out_b = cal.predict(test_logits, test_prox)
+        assert out_b.shape == (100, c)
+
+    # bin_based + procal (BinMeanShift wrap)
+    cal = VLCalibration(cfg, "bin_based", "multi_isotonic_regression",
+                        False, True, val_dict, tf)
+    cal.fit()
+    assert cal.predict(test_logits, test_prox).shape == (100, c)
+
+    # scaling_based + procal (density ratio)
+    cal = VLCalibration(cfg, "scaling_based", None, False, True,
+                        val_dict, tf)
+    cal.fit()
+    out_p = cal.predict(test_logits, test_prox)
+    np.testing.assert_allclose(out_p.sum(1), 1.0, atol=1e-8)
