@@ -1,0 +1,90 @@
+"""Synthetic dataset for tests and data-free demos.
+
+No reference counterpart (the reference has zero tests and requires real
+datasets). Generates small deterministic per-class images — each class is
+a distinct color+frequency pattern with sample noise — and materializes
+them as PNGs under a cache dir so the standard file-based loader path is
+exercised end to end. Follows the standard fewshot->subsample pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ...engine.registry import DATASET_REGISTRY
+from ..base import Datum, mkdir_if_missing, subsample_classes
+from .common import StandardDataset
+
+N_CLASSES = 10
+N_TRAIN, N_VAL, N_TEST = 20, 8, 12
+IMG_SIZE = 64
+
+CLASSNAMES = ["red swirl", "green checker", "blue wave", "yellow dot",
+              "purple stripe", "orange grid", "cyan blob", "magenta ring",
+              "white noise", "dark cross"]
+
+
+def _render(class_idx: int, sample_idx: int) -> np.ndarray:
+    """Deterministic class pattern + per-sample jitter, uint8 HWC."""
+    rng = np.random.default_rng(class_idx * 10007 + sample_idx)
+    yy, xx = np.mgrid[0:IMG_SIZE, 0:IMG_SIZE].astype(np.float32) / IMG_SIZE
+    freq = 2 + class_idx
+    phase = rng.uniform(0, 2 * np.pi)
+    base = np.sin(2 * np.pi * freq * xx + phase) * \
+        np.cos(2 * np.pi * freq * yy)
+    hue = np.array([np.cos(class_idx), np.cos(class_idx + 2),
+                    np.cos(class_idx + 4)]) * 0.5 + 0.5
+    img = (base[..., None] * 0.5 + 0.5) * hue
+    img = img + rng.normal(0, 0.1, img.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+@DATASET_REGISTRY.register()
+class Synthetic(StandardDataset):
+
+    dataset_dir = "synthetic"
+
+    def __init__(self, cfg):
+        root = cfg.DATASET.ROOT or os.path.join(
+            os.path.expanduser("~"), ".cache", "clip_calibration_tpu")
+        self.dataset_dir = os.path.join(os.path.abspath(root),
+                                        type(self).dataset_dir)
+        self.image_dir = os.path.join(self.dataset_dir, "images")
+        self.split_fewshot_dir = os.path.join(self.dataset_dir,
+                                              "split_fewshot")
+        mkdir_if_missing(self.split_fewshot_dir)
+
+        self._materialize()
+        train = self._items("train", N_TRAIN, 0)
+        val = self._items("val", N_VAL, N_TRAIN)
+        test = self._items("test", N_TEST, N_TRAIN + N_VAL)
+        self.finalize(cfg, train, val, test)
+
+    def _materialize(self):
+        from PIL import Image
+        done_marker = os.path.join(self.image_dir, ".done")
+        if os.path.exists(done_marker):
+            return
+        mkdir_if_missing(self.image_dir)
+        total = N_TRAIN + N_VAL + N_TEST
+        for c in range(N_CLASSES):
+            cdir = os.path.join(self.image_dir, f"class_{c:02d}")
+            mkdir_if_missing(cdir)
+            for s in range(total):
+                path = os.path.join(cdir, f"img_{s:03d}.png")
+                if not os.path.exists(path):
+                    Image.fromarray(_render(c, s)).save(path)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    def _items(self, split, count, offset):
+        items = []
+        for c in range(N_CLASSES):
+            cdir = os.path.join(self.image_dir, f"class_{c:02d}")
+            for s in range(offset, offset + count):
+                items.append(Datum(
+                    impath=os.path.join(cdir, f"img_{s:03d}.png"),
+                    label=c, classname=CLASSNAMES[c]))
+        return items

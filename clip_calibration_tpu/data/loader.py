@@ -1,0 +1,129 @@
+"""Data manager and batch loader.
+
+Equivalent of Dassl's ``DataManager`` as the trainers consume it
+(``/root/reference/trainers/calibration/tempscaling.py:123-143`` overrides
+``build_data_loader``; trainers read ``dm.dataset.classnames``,
+``train_loader_x``, ``val_loader``, ``test_loader``).
+
+The loader is host-side: PIL decode + geometric transform in a thread pool
+(image decode releases the GIL), batches emitted as uint8 NHWC numpy plus
+int labels. Normalization happens on device (ops/preprocess.py). Batch
+shapes are static per loader (last partial batch is padded for the eval
+path and the pad mask reported) so jit never retraces.
+"""
+
+from __future__ import annotations
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..engine.registry import DATASET_REGISTRY
+from .base import Datum
+from .transforms import build_transform
+
+
+def _load_image(impath: str) -> Image.Image:
+    return Image.open(impath)
+
+
+class DataLoader:
+    """Iterates a Datum list in batches of transformed uint8 images.
+
+    Train mode: shuffles each epoch (seeded), drops the last partial batch.
+    Eval mode: sequential, keeps the partial batch (padded + mask).
+    """
+
+    def __init__(self, data_source: Sequence[Datum], batch_size: int,
+                 transform: Callable, is_train: bool,
+                 num_workers: int = 4, seed: int = 0,
+                 pad_partial: bool = True):
+        self.data_source = list(data_source)
+        self.batch_size = batch_size
+        self.transform = transform
+        self.is_train = is_train
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.pad_partial = pad_partial
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.data_source)
+        if self.is_train:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _order(self) -> List[int]:
+        idxs = list(range(len(self.data_source)))
+        if self.is_train:
+            rng = random.Random(self.seed * 100003 + self.epoch)
+            rng.shuffle(idxs)
+        return idxs
+
+    def __iter__(self):
+        idxs = self._order()
+        bs = self.batch_size
+        n_batches = len(self)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b in range(n_batches):
+                chunk = idxs[b * bs:(b + 1) * bs]
+                items = [self.data_source[i] for i in chunk]
+                imgs = list(pool.map(
+                    lambda it: self.transform(_load_image(it.impath)),
+                    items))
+                labels = np.asarray([it.label for it in items], np.int32)
+                n_real = len(items)
+                if not self.is_train and self.pad_partial and n_real < bs:
+                    pad = bs - n_real
+                    imgs = imgs + [imgs[-1]] * pad
+                    labels = np.concatenate(
+                        [labels, np.full(pad, labels[-1], np.int32)])
+                batch = {
+                    "img": np.stack(imgs),
+                    "label": labels,
+                    "n_real": n_real,
+                    "impath": [it.impath for it in items],
+                }
+                yield batch
+
+
+class DataManager:
+    """Builds the dataset (registry lookup on cfg.DATASET.NAME) and the
+    train/val/test loaders."""
+
+    def __init__(self, cfg, custom_tfm_train=None, custom_tfm_test=None):
+        self.cfg = cfg
+        dataset_cls = DATASET_REGISTRY.get(cfg.DATASET.NAME)
+        self.dataset = dataset_cls(cfg)
+
+        tfm_train = custom_tfm_train or build_transform(cfg, is_train=True)
+        tfm_test = custom_tfm_test or build_transform(cfg, is_train=False)
+
+        nw = cfg.DATALOADER.NUM_WORKERS
+        seed = max(cfg.SEED, 0)
+
+        self.train_loader_x = DataLoader(
+            self.dataset.train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            tfm_train, is_train=True, num_workers=nw, seed=seed)
+        self.val_loader = None
+        if self.dataset.val:
+            self.val_loader = DataLoader(
+                self.dataset.val, cfg.DATALOADER.TEST.BATCH_SIZE,
+                tfm_test, is_train=False, num_workers=nw, seed=seed)
+        self.test_loader = DataLoader(
+            self.dataset.test, cfg.DATALOADER.TEST.BATCH_SIZE,
+            tfm_test, is_train=False, num_workers=nw, seed=seed)
+
+    @property
+    def num_classes(self):
+        return self.dataset.num_classes
+
+    @property
+    def lab2cname(self):
+        return self.dataset.lab2cname

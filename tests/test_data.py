@@ -1,0 +1,139 @@
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_calibration_tpu.config import get_cfg_default
+from clip_calibration_tpu.data.base import (Datum, set_random_seed,
+                                            subsample_classes)
+from clip_calibration_tpu.data.loader import DataManager
+from clip_calibration_tpu.data.transforms import build_transform
+import clip_calibration_tpu.data.datasets  # noqa: F401  (registers)
+
+
+def _items(n_cls=10, per_cls=5):
+    return [Datum(impath=f"/x/{c}_{i}.jpg", label=c, classname=f"cls{c}")
+            for c in range(n_cls) for i in range(per_cls)]
+
+
+def test_subsample_classes_base_new():
+    items = _items(11)
+    (base,) = subsample_classes(items, subsample="base")
+    (new,) = subsample_classes(items, subsample="new")
+    base_labels = {it.label for it in base}
+    new_labels = {it.label for it in new}
+    # 11 classes -> ceil(11/2)=6 base, 5 new; both relabeled from 0
+    assert base_labels == set(range(6))
+    assert new_labels == set(range(5))
+    base_names = {it.classname for it in base}
+    new_names = {it.classname for it in new}
+    assert base_names == {f"cls{c}" for c in range(6)}
+    assert new_names == {f"cls{c}" for c in range(6, 11)}
+    (all_items,) = subsample_classes(items, subsample="all")
+    assert len(all_items) == len(items)
+
+
+def test_fewshot_sampling_deterministic():
+    from clip_calibration_tpu.data.base import DatasetBase
+    ds = DatasetBase.__new__(DatasetBase)
+    items = _items(5, 20)
+    set_random_seed(1)
+    a = ds.generate_fewshot_dataset(items, num_shots=4)
+    set_random_seed(1)
+    b = ds.generate_fewshot_dataset(items, num_shots=4)
+    assert [x.impath for x in a] == [x.impath for x in b]
+    assert len(a) == 20  # 5 classes x 4 shots
+    set_random_seed(2)
+    c = ds.generate_fewshot_dataset(items, num_shots=4)
+    assert [x.impath for x in a] != [x.impath for x in c]
+
+
+def test_transform_shapes(tmp_path):
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (224, 224)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                            "normalize")
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((300, 400, 3)) * 255).astype(
+            np.uint8))
+    t_train = build_transform(cfg, is_train=True)
+    t_test = build_transform(cfg, is_train=False)
+    out = t_train(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+    out = t_test(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+
+
+def test_synthetic_datamanager(tmp_path):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.DATASET.SUBSAMPLE_CLASSES = "base"
+    cfg.SEED = 1
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                            "normalize")
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    set_random_seed(1)
+    dm = DataManager(cfg)
+    # 10 classes -> 5 base; 4-shot train
+    assert dm.num_classes == 5
+    assert len(dm.dataset.train_x) == 20
+    assert len(dm.dataset.classnames) == 5
+
+    batches = list(dm.train_loader_x)
+    assert len(batches) == 20 // 8
+    b = batches[0]
+    assert b["img"].shape == (8, 32, 32, 3)
+    assert b["img"].dtype == np.uint8
+    assert b["label"].shape == (8,)
+
+    # eval loader pads the final partial batch
+    test_batches = list(dm.test_loader)
+    n_test = len(dm.dataset.test)
+    assert test_batches[-1]["img"].shape[0] == 16
+    assert sum(tb["n_real"] for tb in test_batches) == n_test
+
+    # few-shot cache reused on second construction
+    set_random_seed(1)
+    dm2 = DataManager(cfg)
+    assert [d.impath for d in dm2.dataset.train_x] == \
+        [d.impath for d in dm.dataset.train_x]
+
+
+def test_train_loader_shuffles_per_epoch(tmp_path):
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = -1
+    cfg.SEED = 1
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    set_random_seed(1)
+    dm = DataManager(cfg)
+    loader = dm.train_loader_x
+    loader.set_epoch(0)
+    first = np.concatenate([b["label"] for b in loader])
+    loader.set_epoch(1)
+    second = np.concatenate([b["label"] for b in loader])
+    assert first.shape == second.shape
+    assert not np.array_equal(first, second)
+    loader.set_epoch(0)
+    again = np.concatenate([b["label"] for b in loader])
+    np.testing.assert_array_equal(first, again)
+
+
+def test_all_loaders_registered():
+    from clip_calibration_tpu.engine.registry import DATASET_REGISTRY
+    expected = ["OxfordPets", "OxfordFlowers", "FGVCAircraft",
+                "DescribableTextures", "EuroSAT", "StanfordCars",
+                "Food101", "SUN397", "Caltech101", "UCF101", "ImageNet",
+                "ImageNetSketch", "ImageNetV2", "ImageNetA", "ImageNetR",
+                "Synthetic"]
+    for name in expected:
+        assert name in DATASET_REGISTRY, name
