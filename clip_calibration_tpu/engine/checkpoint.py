@@ -1,0 +1,103 @@
+"""Checkpoint I/O.
+
+Layout matches the reference scripts' expectations
+(``/root/reference/trainers/classification/coop.py:318-343``):
+``<output>/<model-name>/model.pth.tar-<epoch>`` plus ``model-best.pth.tar``
+and the calibrated variant ``model-calibrated.pth.tar-<N>``. Content is a
+torch-free npz payload (flat param keys + epoch metadata); a reader for
+genuine torch ``.pth.tar`` prompt checkpoints is provided for interop with
+artifacts produced by the reference.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..models.weights import flatten_params, unflatten_params
+
+
+def save_checkpoint(state: Dict[str, Any], save_dir: str,
+                    epoch: int, is_best: bool = False,
+                    model_name: str = "model") -> str:
+    """state: {"state_dict": params pytree, "epoch": int, ...}."""
+    os.makedirs(save_dir, exist_ok=True)
+    flat = flatten_params(state["state_dict"])
+    arrays = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if str(v.dtype) == "bfloat16":
+            arrays["B::" + k] = v.view(np.uint16)
+        else:
+            arrays[k] = v
+    arrays["__epoch__"] = np.asarray(state.get("epoch", epoch))
+
+    fpath = osp.join(save_dir, f"{model_name}.pth.tar-{epoch}")
+    # np.savez appends .npz to string paths; write through a file object
+    with open(fpath, "wb") as f:
+        np.savez(f, **arrays)
+    if is_best:
+        best = osp.join(save_dir, f"{model_name}-best.pth.tar")
+        with open(best, "wb") as f:
+            np.savez(f, **arrays)
+    return fpath
+
+
+def load_checkpoint(fpath: str) -> Dict[str, Any]:
+    """Load either our npz checkpoints or reference torch .pth.tar files."""
+    if not osp.exists(fpath):
+        raise FileNotFoundError(f'Checkpoint not found at "{fpath}"')
+    try:
+        return _load_npz(fpath)
+    except (ValueError, OSError):
+        return _load_torch(fpath)
+
+
+def _load_npz(fpath: str) -> Dict[str, Any]:
+    import ml_dtypes
+    with open(fpath, "rb") as f:
+        data = np.load(io.BytesIO(f.read()), allow_pickle=False)
+        flat = {}
+        epoch = 0
+        for k in data.files:
+            if k == "__epoch__":
+                epoch = int(data[k])
+            elif k.startswith("B::"):
+                flat[k[3:]] = data[k].view(ml_dtypes.bfloat16)
+            else:
+                flat[k] = data[k]
+    return {"state_dict": unflatten_params(flat), "epoch": epoch}
+
+
+def _load_torch(fpath: str) -> Dict[str, Any]:
+    """Read a reference torch checkpoint ({'state_dict', 'epoch', ...})."""
+    import torch
+    ckpt = torch.load(fpath, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    flat = {k.replace(".", "/"): v.detach().float().numpy()
+            for k, v in sd.items()}
+    return {"state_dict": unflatten_params(flat),
+            "epoch": int(ckpt.get("epoch", 0))}
+
+
+def resolve_model_file(directory: str, epoch: Optional[int] = None,
+                       model_name: str = "model") -> str:
+    """Pick model-best or model.pth.tar-<epoch> (reference
+    ``coop.py:312-343`` semantics)."""
+    if epoch is not None:
+        return osp.join(directory, f"{model_name}.pth.tar-{epoch}")
+    best = osp.join(directory, f"{model_name}-best.pth.tar")
+    if osp.exists(best):
+        return best
+    # fall back to the highest-epoch file
+    cands = [f for f in os.listdir(directory)
+             if f.startswith(f"{model_name}.pth.tar-")]
+    if not cands:
+        raise FileNotFoundError(
+            f"No checkpoint under {directory!r} for {model_name!r}")
+    cands.sort(key=lambda f: int(f.rsplit("-", 1)[1]))
+    return osp.join(directory, cands[-1])

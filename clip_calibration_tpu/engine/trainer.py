@@ -1,0 +1,259 @@
+"""Trainer lifecycle engine.
+
+Clean-room equivalent of the Dassl ``TrainerX`` surface the reference
+trainers use (``/root/reference/trainers/classification/coop.py:226-343``):
+``build_data_loader`` -> ``build_model`` -> ``train()`` epoch loop calling
+``forward_backward`` per batch, per-epoch checkpointing, ``load_model``
+with buffer-dropping, model registry, metric logging.
+
+TPU-first differences:
+- each trainer compiles ONE jit train step (frozen backbone passed as a
+  non-donated argument, trainable prompt pytree + optimizer state donated);
+  the LR schedule is inside the optax transform, so the epoch loop is pure
+  data feeding;
+- eval precomputes text features once per class set instead of re-encoding
+  text every batch (the reference re-runs the text tower per eval batch).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import os.path as osp
+import time
+from collections import defaultdict, deque
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..data.loader import DataManager
+from ..engine.checkpoint import (load_checkpoint, resolve_model_file,
+                                 save_checkpoint)
+from ..engine.registry import build_evaluator
+
+
+class MetricMeter:
+    """Running averages for loss printing (Dassl MetricMeter look)."""
+
+    def __init__(self, delimiter: str = " "):
+        self.meters = defaultdict(lambda: deque(maxlen=100))
+        self.delimiter = delimiter
+
+    def update(self, metrics: Dict[str, float]):
+        for k, v in metrics.items():
+            self.meters[k].append(float(v))
+
+    def __str__(self):
+        parts = []
+        for name, vals in self.meters.items():
+            avg = sum(vals) / len(vals)
+            parts.append(f"{name} {vals[-1]:.4f} ({avg:.4f})")
+        return self.delimiter.join(parts)
+
+
+class TrainerX:
+    """Base trainer: data, model registry, train/test lifecycle."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.check_cfg(cfg)
+        self.start_epoch = self.epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.output_dir = cfg.OUTPUT_DIR
+        self.best_result = -np.inf
+
+        # name -> {"params", "opt", "opt_state", "step"}
+        self._models: Dict[str, Dict[str, Any]] = {}
+        self._scalar_log = None
+
+        self.build_data_loader()
+        self.evaluator = build_evaluator(cfg, lab2cname=self.dm.lab2cname)
+        self.build_model()
+
+    # -- hooks ------------------------------------------------------------
+    def check_cfg(self, cfg):
+        pass
+
+    def build_data_loader(self):
+        self.dm = DataManager(self.cfg)
+        self.train_loader_x = self.dm.train_loader_x
+        self.val_loader = self.dm.val_loader
+        self.test_loader = self.dm.test_loader
+        self.num_classes = self.dm.num_classes
+        self.lab2cname = self.dm.lab2cname
+
+    def build_model(self):
+        raise NotImplementedError
+
+    def forward_backward(self, batch) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def model_inference(self, images):
+        """images: uint8 [B,H,W,3] -> (logits, image_features,
+        text_features) device arrays."""
+        raise NotImplementedError
+
+    def set_model_mode(self, mode: str):
+        pass  # functional models carry no train/eval flags
+
+    # -- model registry ----------------------------------------------------
+    def register_model(self, name: str, params, opt=None, opt_state=None):
+        if name in self._models:
+            raise KeyError(f"Model {name!r} already registered")
+        self._models[name] = {"params": params, "opt": opt,
+                              "opt_state": opt_state, "step": 0}
+
+    def get_model_names(self):
+        return list(self._models)
+
+    def model_params(self, name: str):
+        return self._models[name]["params"]
+
+    # -- train loop ----------------------------------------------------------
+    def train(self):
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+
+    def before_train(self):
+        if self.cfg.RESUME:
+            self.resume_model_if_exist(self.cfg.RESUME)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.time_start = time.time()
+
+    def before_epoch(self):
+        self.train_loader_x.set_epoch(self.epoch)
+
+    def run_epoch(self):
+        meter = MetricMeter()
+        self.num_batches = len(self.train_loader_x)
+        end = time.time()
+        for self.batch_idx, batch in enumerate(self.train_loader_x):
+            data_time = time.time() - end
+            loss_summary = self.forward_backward(batch)
+            batch_time = time.time() - end
+            meter.update(loss_summary)
+            if ((self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+                    or self.num_batches < self.cfg.TRAIN.PRINT_FREQ):
+                nb_left = self.num_batches - self.batch_idx - 1
+                ep_left = self.max_epoch - self.epoch - 1
+                eta = batch_time * (nb_left + ep_left * self.num_batches)
+                eta = str(datetime.timedelta(seconds=int(eta)))
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}]"
+                    f"[{self.batch_idx + 1}/{self.num_batches}] "
+                    f"time {batch_time:.3f} data {data_time:.3f} "
+                    f"eta {eta} {meter}")
+            end = time.time()
+
+    def after_epoch(self):
+        last_epoch = (self.epoch + 1) == self.max_epoch
+        do_test = not self.cfg.TEST.NO_TEST
+        meet_freq = (self.cfg.TRAIN.CHECKPOINT_FREQ > 0 and
+                     (self.epoch + 1) % self.cfg.TRAIN.CHECKPOINT_FREQ == 0)
+        if do_test and self.cfg.TEST.FINAL_MODEL == "best_val":
+            result = self.test(split="val")
+            if result > self.best_result:
+                self.best_result = result
+                self.save_model(self.epoch, self.output_dir,
+                                is_best=True)
+        if last_epoch or meet_freq:
+            self.save_model(self.epoch, self.output_dir)
+
+    def after_train(self):
+        print("Finish training")
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            else:
+                print("Deploy the last-epoch model")
+            self.test()
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        self.close_writer()
+
+    # -- checkpointing ---------------------------------------------------------
+    def save_model(self, epoch: int, directory: str,
+                   is_best: bool = False, model_name: str = "model"):
+        for name, slot in self._models.items():
+            save_checkpoint(
+                {"state_dict": slot["params"], "epoch": epoch + 1},
+                osp.join(directory, name), epoch + 1, is_best=is_best,
+                model_name=model_name)
+
+    def load_model(self, directory: str, epoch: Optional[int] = None):
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained "
+                  "model is given")
+            return
+        for name in self.get_model_names():
+            path = resolve_model_file(osp.join(directory, name), epoch)
+            ckpt = load_checkpoint(path)
+            state = ckpt["state_dict"]
+            # Ignore fixed token vectors: class sets change between
+            # train (base) and test (new) (reference coop.py:334-343)
+            state.pop("token_prefix", None)
+            state.pop("token_suffix", None)
+            print(f'Loading weights to {name} from "{path}" '
+                  f'(epoch = {ckpt["epoch"]})')
+            self._set_params(name, state)
+
+    def _set_params(self, name: str, loaded: Dict[str, Any]):
+        """Non-strict merge of loaded arrays into the registered pytree."""
+        import jax.numpy as jnp
+        params = self._models[name]["params"]
+
+        def merge(dst, src, prefix=""):
+            out = {}
+            for k, v in dst.items():
+                if k in src:
+                    if isinstance(v, dict):
+                        out[k] = merge(v, src[k], prefix + k + "/")
+                    else:
+                        arr = jnp.asarray(np.asarray(src[k]),
+                                          dtype=v.dtype)
+                        if arr.shape != v.shape:
+                            print(f"skip {prefix + k}: shape "
+                                  f"{arr.shape} != {v.shape}")
+                            out[k] = v
+                        else:
+                            out[k] = arr
+                else:
+                    print(f"missing key in checkpoint: {prefix + k}")
+                    out[k] = v
+            return out
+
+        self._models[name]["params"] = merge(params, loaded)
+
+    def resume_model_if_exist(self, directory: str):
+        try:
+            self.load_model(directory)
+            print(f"Resumed from {directory}")
+        except FileNotFoundError:
+            print(f"No checkpoint to resume at {directory}")
+
+    # -- misc ---------------------------------------------------------------
+    def write_scalar(self, tag: str, value, step: int):
+        if self._scalar_log is None:
+            os.makedirs(self.output_dir, exist_ok=True)
+            self._scalar_log = open(
+                osp.join(self.output_dir, "scalars.jsonl"), "a")
+        self._scalar_log.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._scalar_log.flush()
+
+    def close_writer(self):
+        if self._scalar_log is not None:
+            self._scalar_log.close()
+            self._scalar_log = None
+
+    def parse_batch_test(self, batch):
+        return batch["img"], batch["label"]
+
+    def test(self, split=None):
+        raise NotImplementedError

@@ -1,0 +1,65 @@
+"""CLIP backbone resolution.
+
+The reference downloads OpenAI weights by URL with SHA256 verification
+(``/root/reference/clip/clip.py:42-71``). This build runs in egress-free
+environments, so resolution order is local-first:
+
+1. native npz: ``$CLIP_CHECKPOINT_DIR/<name>.npz`` or ``~/.cache/clip/<name>.npz``
+2. torch checkpoint: same dirs, ``<name>.pt`` (OpenAI naming, e.g.
+   ``ViT-B-16.pt``) — converted on the fly
+3. seeded random init (loud warning) — keeps tests/demos runnable with no
+   weights on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+
+from .clip import PRESETS, CLIPConfig, init_clip
+from .weights import load_params, load_torch_clip, convert_torch_clip
+
+
+def _safe_name(backbone_name: str) -> str:
+    return backbone_name.replace("/", "-")
+
+
+def _search_dirs():
+    dirs = []
+    env = os.environ.get("CLIP_CHECKPOINT_DIR")
+    if env:
+        dirs.append(env)
+    dirs.append(osp.expanduser("~/.cache/clip"))
+    return dirs
+
+
+def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
+    """Returns (params, CLIPConfig) for the named backbone."""
+    if backbone_name not in PRESETS:
+        raise KeyError(
+            f"Unknown backbone {backbone_name!r}; known: "
+            f"{sorted(PRESETS)}")
+    cfg = PRESETS[backbone_name]
+    fname = _safe_name(backbone_name)
+
+    for d in _search_dirs():
+        npz = osp.join(d, fname + ".npz")
+        if osp.exists(npz):
+            print(f"Loading CLIP weights from {npz}")
+            return load_params(npz), cfg
+        pt = osp.join(d, fname + ".pt")
+        if osp.exists(pt):
+            print(f"Converting CLIP torch weights from {pt}")
+            params, inferred = load_torch_clip(pt, dtype_str)
+            return params, inferred
+
+    print(f"WARNING: no pretrained weights found for {backbone_name!r} "
+          f"(searched {_search_dirs()}); using seeded random init. "
+          f"Set CLIP_CHECKPOINT_DIR to point at real weights.")
+    import zlib
+    seed = zlib.crc32(backbone_name.encode()) % (2 ** 31)
+    import jax.numpy as jnp
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_str]
+    return init_clip(jax.random.PRNGKey(seed), cfg, dtype=dtype), cfg

@@ -84,6 +84,8 @@ PRESETS: Dict[str, CLIPConfig] = {
     "ViT-L/14": CLIPConfig(768, 224, 24, 1024, 14, 768, 12, 12),
     "RN50": CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 512, 8, 12),
     "RN101": CLIPConfig(512, 224, (3, 4, 23, 3), 64, None, 512, 8, 12),
+    # tiny backbone for fast integration tests / demos (no public weights)
+    "ViT-Test": CLIPConfig(32, 32, 2, 64, 8, 64, 4, 2),
 }
 
 

@@ -35,15 +35,22 @@ class Logger:
         self.console.write(msg)
         if self.file is not None:
             self.file.write(msg)
+            self.file.flush()
 
     def flush(self):
-        self.console.flush()
-        if self.file is not None:
-            self.file.flush()
-            os.fsync(self.file.fileno())
+        try:
+            self.console.flush()
+            if self.file is not None:
+                self.file.flush()
+                os.fsync(self.file.fileno())
+        except (ValueError, OSError):
+            pass  # interpreter teardown / closed capture stream
 
     def close(self):
-        self.console.flush()
+        try:
+            self.console.flush()
+        except (ValueError, OSError):
+            pass
         if self.file is not None:
             self.file.close()
             self.file = None

@@ -1,0 +1,249 @@
+"""VLBaseLearner: the calibrated-evaluation pipeline.
+
+Parity target: ``/root/reference/trainers/classification/base_learner.py``.
+``test()`` runs the inference loop, persists/loads the cross-run feature
+caches (``./temp/base_features/...`` and ``./temp/knndist/...`` — the
+filesystem handshake that coordinates the ZeroshotCLIP-base -> trainer-base
+-> new-class-eval pipeline), assembles the 4-way text-feature dict, fits
+VLCalibration, computes test-set proximity, and evaluates calibrated
+probabilities.
+
+TPU notes: the eval loop feeds padded static-shape uint8 batches into one
+jit-compiled inference step; text features are computed once per class set
+(the reference re-encodes the text tower every batch). Feature caches are
+npz payloads kept under the reference's exact paths/filenames (a torch
+reader covers caches produced by the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import os.path as osp
+
+import numpy as np
+
+from ..engine.registry import TRAINER_REGISTRY
+from ..engine.trainer import TrainerX
+from ..models import clip as M
+from ..models.backbone import load_clip_backbone
+from ..models.tokenizer import tokenize
+from .calibration.proximity import (get_knn_dists, get_val_image_knn_dists,
+                                    proximity_from_dists)
+from .calibration.vl_calibrator import VLCalibration
+from .templates import build_clip_templates
+
+TEMP_ROOT = "./temp"
+
+
+def _save_feature_dict(path: str, d: dict) -> None:
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in d.items()})
+
+
+def _load_feature_dict(path: str) -> dict:
+    import io
+    try:
+        with open(path, "rb") as f:
+            data = np.load(io.BytesIO(f.read()), allow_pickle=False)
+            return {k: data[k] for k in data.files}
+    except (ValueError, OSError):
+        import torch  # cache written by the torch reference
+        d = torch.load(path, map_location="cpu", weights_only=False)
+        return {k: np.asarray(v) for k, v in d.items()}
+
+
+@functools.lru_cache(maxsize=2)
+def _zs_clip(backbone_name: str):
+    """Frozen zero-shot CLIP for calibration text features (reference
+    ``tools/zsclip_encoder.py:29-48``), cached per backbone."""
+    return load_clip_backbone(backbone_name)
+
+
+def encode_classnames_zs(backbone_name: str, dataset_name: str,
+                         classnames) -> np.ndarray:
+    """Zero-shot text features for the given class names, normalized."""
+    import jax
+    params, ccfg = _zs_clip(backbone_name)
+    temp = build_clip_templates(dataset_name)
+    prompts = [temp.format(c.replace("_", " ")) for c in classnames]
+    toks = tokenize(prompts)
+    feats = jax.jit(lambda p, t: M.normalize(
+        M.encode_text(p, ccfg, t)))(params, toks)
+    return np.asarray(feats, np.float32)
+
+
+@TRAINER_REGISTRY.register()
+class VLBaseLearner(TrainerX):
+    """Base trainer for vision-language tuning and calibration."""
+
+    # -- cache paths (reference base_learner.py:106-108,123-134) ------------
+    def _base_feature_dir(self, subsample: str) -> str:
+        cfg = self.cfg
+        return osp.join(TEMP_ROOT, "base_features", cfg.DATASET.NAME,
+                        cfg.TRAINER.NAME,
+                        "shots" + str(cfg.DATASET.NUM_SHOTS),
+                        cfg.MODEL.BACKBONE.NAME, subsample,
+                        "seed" + str(cfg.SEED))
+
+    def _knndist_dir(self) -> str:
+        cfg = self.cfg
+        return osp.join(TEMP_ROOT, "knndist", cfg.DATASET.NAME,
+                        cfg.TRAINER.NAME,
+                        "shots" + str(cfg.DATASET.NUM_SHOTS),
+                        cfg.MODEL.BACKBONE.NAME,
+                        cfg.DATASET.SUBSAMPLE_CLASSES,
+                        "seed" + str(cfg.SEED),
+                        "nn" + str(cfg.CALIBRATION.PROCAL.IMAGE_K))
+
+    # -- inference loop -------------------------------------------------------
+    def _run_inference(self, data_loader):
+        """Returns (logits, labels, image_features, text_features)."""
+        logits_all, labels_all, img_f_all = [], [], []
+        text_features = None
+        for batch in data_loader:
+            images, labels = self.parse_batch_test(batch)
+            output, img_f, txt_f = self.model_inference(images)
+            n = batch["n_real"]
+            logits_all.append(np.asarray(output, np.float32)[:n])
+            img_f_all.append(np.asarray(img_f, np.float32)[:n])
+            labels_all.append(np.asarray(labels)[:n])
+            text_features = txt_f
+        return (np.concatenate(logits_all), np.concatenate(labels_all),
+                np.concatenate(img_f_all),
+                np.asarray(text_features, np.float32))
+
+    # -- the generic testing pipeline (reference base_learner.py:59-152) ----
+    def test(self, split=None):
+        self.set_model_mode("eval")
+        self.evaluator.reset()
+        cfg = self.cfg
+
+        if not cfg.CALIBRATION.SCALING.IF_SCALING and \
+                cfg.TRAINER.NAME == "ProDA":
+            self.set_classifier()
+
+        if split is None:
+            split = cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            data_loader = self.val_loader
+        else:
+            split = "test"
+            data_loader = self.test_loader
+        print(f"Evaluate on the *{split}* set")
+
+        logits, labels, image_features_test, text_features_test = \
+            self._run_inference(data_loader)
+        for i in range(0, len(logits), 4096):  # feed evaluator in chunks
+            self.evaluator.process(logits[i:i + 4096], labels[i:i + 4096],
+                                   image_features_test[i:i + 4096],
+                                   text_features_test)
+
+        # cache base-class val features (trains the calibrator downstream)
+        if cfg.DATASET.SUBSAMPLE_CLASSES == "base":
+            self.save_base_val_features()
+
+        val_feature_path = osp.join(self._base_feature_dir("base"),
+                                    "base_features.pt")
+        val_dict = _load_feature_dict(val_feature_path)
+
+        calibrator = VLCalibration(
+            cfg,
+            cfg.CALIBRATION.BASE_CALIBRATION_MODE,
+            cfg.CALIBRATION.BIN.BIN_CALIBRATOR_NAME,
+            cfg.CALIBRATION.DAC.IF_DAC,
+            cfg.CALIBRATION.PROCAL.IF_PROCAL,
+            val_dict,
+            self.get_text_features(text_features_test))
+        calibrator.fit()
+
+        # test-set proximity (cached)
+        base_val_image_features = val_dict["val_image_features"]
+        dist_dir = self._knndist_dir()
+        dist_path = osp.join(dist_dir, "knndist.npy")
+        k = cfg.CALIBRATION.PROCAL.IMAGE_K
+        if osp.exists(dist_path):
+            print(f"load the knn distance from: {dist_path}")
+            knndists = np.load(dist_path)
+        else:
+            knndists = get_knn_dists(base_val_image_features,
+                                     image_features_test, k)
+            os.makedirs(dist_dir, exist_ok=True)
+            np.save(dist_path, knndists)
+        test_img_proximity = proximity_from_dists(knndists)
+
+        probs = calibrator.predict(logits, test_img_proximity)
+        results = self.evaluator.evaluate(probs, labels,
+                                          test_img_proximity)
+
+        for name, value in results.items():
+            self.write_scalar(f"{split}/{name}", value, self.epoch)
+        return list(results.values())[0]
+
+    # -- base-class val feature cache (reference base_learner.py:176-239) ---
+    def save_base_val_features(self):
+        save_dir = osp.join(
+            self._base_feature_dir(self.cfg.DATASET.SUBSAMPLE_CLASSES),
+            "base_features.pt")
+        if osp.exists(save_dir):
+            print(f"File {save_dir} already exists. "
+                  "Skipping save operation.")
+            return
+        print("Saving base features from val dataset")
+        if not self.cfg.CALIBRATION.SCALING.IF_SCALING and \
+                self.cfg.TRAINER.NAME == "ProDA":
+            self.set_classifier()
+        logits, labels, img_f, txt_f = self._run_inference(self.val_loader)
+        knn = get_val_image_knn_dists(img_f,
+                                      self.cfg.CALIBRATION.PROCAL.IMAGE_K)
+        _save_feature_dict(save_dir, {
+            "val_logits": logits,
+            "val_image_features": img_f,
+            "val_text_features": txt_f,
+            "val_labels": labels,
+            "val_image_knn_dists": knn,
+        })
+
+    # -- 4-way text features (reference base_learner.py:242-293) -----------
+    def get_text_features(self, current_text_features_tuned=None):
+        cfg = self.cfg
+        val_dict = _load_feature_dict(
+            osp.join(self._base_feature_dir("base"), "base_features.pt"))
+
+        # 1. base text features from the cached ZeroshotCLIP base run
+        # (hardcoded seed 1, reference base_learner.py:253-255)
+        zs_dir = osp.join(TEMP_ROOT, "base_features", cfg.DATASET.NAME,
+                          "ZeroshotCLIP",
+                          "shots" + str(cfg.DATASET.NUM_SHOTS),
+                          cfg.MODEL.BACKBONE.NAME, "base", "seed1",
+                          "base_features.pt")
+        zs_base_dict = _load_feature_dict(zs_dir)
+        base_text_features_zs = zs_base_dict["val_text_features"]
+
+        # 2. current classes through frozen zero-shot CLIP
+        current_text_features_zs = encode_classnames_zs(
+            cfg.MODEL.BACKBONE.NAME, cfg.DATASET.NAME,
+            self.dm.dataset.classnames)
+
+        # 3. base text features from this trainer's own base run
+        base_text_features_tuned = val_dict["val_text_features"]
+
+        # 4. current classes through the tuned model (one inference)
+        if current_text_features_tuned is None:
+            batch = next(iter(self.test_loader))
+            images, _ = self.parse_batch_test(batch)
+            _, _, txt_f = self.model_inference(images)
+            current_text_features_tuned = np.asarray(txt_f, np.float32)
+
+        return {
+            "base_text_features_zs": np.asarray(base_text_features_zs),
+            "current_text_features_zs": current_text_features_zs,
+            "base_text_features_tuned":
+                np.asarray(base_text_features_tuned),
+            "current_text_features_tuned":
+                np.asarray(current_text_features_tuned),
+        }
+
+    def parse_batch_train(self, batch):
+        return batch["img"], batch["label"]
