@@ -1,0 +1,148 @@
+"""Temperature-scaling calibration trainer.
+
+Parity target: ``/root/reference/trainers/calibration/tempscaling.py``.
+Wraps a frozen, already-tuned base learner; the single trainable parameter
+is a log-temperature (init 4.6052 = ln 100, the CLIP convention). The
+reference re-implements every base model as an inference-only mirror with
+``logit_scale`` forced to 1.0 (``base_model/*.py``); here the base
+trainer's own inference step is reused and its logit scale divided out —
+one code path for all 9 base learners, no mirrors.
+
+Training re-points ``train_loader_x`` at the *val* loader (reference
+``tempscaling.py:123-143``) and optimizes CE of ``exp(s) * cos`` with SGD.
+Checkpoints are saved as ``model-calibrated.pth.tar-<N>`` (reference
+``tempscaling.py:305-327``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...engine.optim import build_optimizer
+from ...engine.registry import TRAINER_REGISTRY
+from ...engine.checkpoint import save_checkpoint
+from ..base_learner import VLBaseLearner
+
+
+@TRAINER_REGISTRY.register()
+class TempScaling(VLBaseLearner):
+
+    def build_data_loader(self):
+        super().build_data_loader()
+        # calibrate on the validation split
+        if self.val_loader is not None:
+            self.train_loader_x = type(self.val_loader)(
+                self.val_loader.data_source,
+                self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                self.val_loader.transform, is_train=True,
+                num_workers=self.cfg.DATALOADER.NUM_WORKERS,
+                seed=max(self.cfg.SEED, 0))
+
+    def build_model(self):
+        cfg = self.cfg
+        base_name = cfg.CALIBRATION.SCALING.BASE_LEARNER
+        print(f"Building base learner for scaling: {base_name}")
+
+        bcfg = cfg.clone()
+        bcfg.defrost()
+        bcfg.TRAINER.NAME = base_name
+        bcfg.freeze()
+        self.base = TRAINER_REGISTRY.get(base_name)(bcfg)
+
+        base_dir = cfg.CALIBRATION.SCALING.BASE_DIR
+        if base_dir:
+            self.base.load_model(base_dir,
+                                 epoch=cfg.CALIBRATION.SCALING.BASE_EPOCH)
+        if base_name == "ProDA":
+            self.base.set_classifier()
+
+        # the frozen model's own temperature, divided out of its logits
+        self._base_log_scale = float(
+            np.asarray(self.base.clip_params["logit_scale"], np.float32))
+
+        trainable = {"scale": jnp.asarray(
+            cfg.CALIBRATION.SCALING.INIT_TEMP, jnp.float32)}
+        steps = max(len(self.train_loader_x), 1)
+        opt, _ = build_optimizer(cfg, steps)
+        self.opt = opt
+        self.register_model("scale_learner", trainable, opt,
+                            opt.init(trainable))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scale_step(trainable, opt_state, cos_logits, labels):
+            def loss_fn(tr):
+                logits = jnp.exp(tr["scale"]) * cos_logits
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = self.opt.update(grads, opt_state,
+                                                 trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss
+
+        self._scale_step = scale_step
+        self._cos_cache = {}  # impath tuple -> (cos_logits, labels)
+
+    # -- helpers --------------------------------------------------------------
+    def _unit_logits(self, images):
+        """Base model cosine logits with its temperature divided out."""
+        logits, img_f, txt_f = self.base.model_inference(images)
+        cos = np.asarray(logits, np.float32) / np.exp(self._base_log_scale)
+        return cos, img_f, txt_f
+
+    # -- train -------------------------------------------------------------
+    def forward_backward(self, batch):
+        key = tuple(batch["impath"])
+        if key in self._cos_cache:
+            cos, labels = self._cos_cache[key]
+        else:
+            images, labels = self.parse_batch_train(batch)
+            cos, _, _ = self._unit_logits(images)
+            labels = np.asarray(labels)
+            self._cos_cache[key] = (cos, labels)
+        slot = self._models["scale_learner"]
+        slot["params"], slot["opt_state"], loss = self._scale_step(
+            slot["params"], slot["opt_state"], jnp.asarray(cos),
+            jnp.asarray(labels))
+        return {"loss": float(loss),
+                "temperature": float(np.exp(
+                    np.asarray(slot["params"]["scale"])))}
+
+    # -- eval ---------------------------------------------------------------
+    def model_inference(self, images):
+        cos, img_f, txt_f = self._unit_logits(images)
+        s = float(np.asarray(self._models["scale_learner"]["params"]
+                             ["scale"]))
+        return cos * np.exp(s), img_f, txt_f
+
+    # -- checkpointing: model-calibrated.pth.tar-N --------------------------
+    def save_model(self, epoch, directory, is_best=False,
+                   model_name="model"):
+        for name, slot in self._models.items():
+            save_checkpoint(
+                {"state_dict": slot["params"], "epoch": epoch + 1},
+                osp.join(directory, name), epoch + 1, is_best=is_best,
+                model_name="model-calibrated")
+
+    def load_model(self, directory, epoch=None):
+        """Load the scale learner from model-calibrated checkpoints
+        (reference ``tempscaling.py:258-301``). Base prompts were already
+        loaded from CALIBRATION.SCALING.BASE_DIR at build time."""
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained "
+                  "model is given")
+            return
+        from ...engine.checkpoint import load_checkpoint
+        fname = ("model-calibrated-best.pth.tar" if epoch is None
+                 else f"model-calibrated.pth.tar-{epoch}")
+        path = osp.join(directory, "scale_learner", fname)
+        ckpt = load_checkpoint(path)
+        print(f'Loading weights to scale_learner from "{path}" '
+              f'(epoch = {ckpt["epoch"]})')
+        self._set_params("scale_learner", ckpt["state_dict"])
