@@ -1,0 +1,97 @@
+"""Benchmark: ViT-B/16 image-encode throughput on one TPU chip.
+
+The north-star metric from BASELINE.json: images/sec/chip for the CLIP
+ViT-B/16 image encoder (bf16, on-device uint8 normalization fused into the
+encode), the dominant FLOPs of every training/eval loop in the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` reports the fraction of the chip's bf16 roofline this
+encode achieves (model FLOPs utilization) — a hardware-normalized stand-in
+that is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from clip_calibration_tpu.models import clip as M
+from clip_calibration_tpu.ops.preprocess import normalize_images
+
+PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16
+
+
+def vit_encode_flops(cfg: M.CLIPConfig) -> float:
+    """Analytic FLOPs (2x MACs) per image for the ViT encode."""
+    L = cfg.vision_seq_len
+    D = cfg.vision_width
+    patch = cfg.vision_patch_size
+    per_layer = (2 * L * D * 3 * D        # qkv
+                 + 2 * 2 * L * L * D      # scores + values
+                 + 2 * L * D * D          # out proj
+                 + 2 * 2 * L * D * 4 * D)  # mlp
+    stem = 2 * (L - 1) * (patch * patch * 3) * D
+    head = 2 * D * cfg.embed_dim
+    return float(cfg.vision_layers * per_layer + stem + head)
+
+
+def main():
+    dev = jax.devices()[0]
+    cfg = M.PRESETS["ViT-B/16"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+
+    def encode(params, images):
+        x = normalize_images(images)
+        return M.normalize(M.encode_image(params, cfg, x))
+
+    # Chain N encodes inside one jit with a data dependence between
+    # iterations and fetch a single scalar at the end — the remote-device
+    # tunnel elides repeated identical dispatches and returns from
+    # block_until_ready early, so naive dispatch loops mis-measure.
+    N_ITERS = 20
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(params, images, n):
+        def body(carry, _):
+            f = encode(params, images ^ carry)  # depends on prior iter
+            nxt = (f[0, 0].astype(jnp.float32) > 1e9).astype(jnp.uint8)
+            return carry + nxt, None
+        c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n)
+        return c
+
+    res = cfg.image_resolution
+    best = None
+    for batch in (128, 256, 512):
+        images = (jax.random.uniform(
+            jax.random.PRNGKey(1), (batch, res, res, 3)) * 255
+        ).astype(jnp.uint8)
+        images = jax.device_put(images, dev)
+        int(chained(params, images, 2))  # compile + warmup
+        t0 = time.perf_counter()
+        int(chained(params, images, N_ITERS))
+        dt = time.perf_counter() - t0
+        ips = batch * N_ITERS / dt
+        if best is None or ips > best[1]:
+            best = (batch, ips)
+
+    batch, ips = best
+    mfu = ips * vit_encode_flops(cfg) / PEAK_BF16_FLOPS
+    print(json.dumps({
+        "metric": "vit_b16_image_encode_throughput",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(mfu, 4),
+        "batch": batch,
+        "device": str(dev),
+        "notes": "vs_baseline = fraction of 197 TFLOP/s bf16 roofline "
+                 "(reference publishes no throughput numbers)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
