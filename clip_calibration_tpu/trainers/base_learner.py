@@ -62,11 +62,12 @@ def _zs_clip(backbone_name: str):
 
 
 def encode_classnames_zs(backbone_name: str, dataset_name: str,
-                         classnames) -> np.ndarray:
+                         classnames, template: str | None = None
+                         ) -> np.ndarray:
     """Zero-shot text features for the given class names, normalized."""
     import jax
     params, ccfg = _zs_clip(backbone_name)
-    temp = build_clip_templates(dataset_name)
+    temp = template or build_clip_templates(dataset_name)
     prompts = [temp.format(c.replace("_", " ")) for c in classnames]
     toks = tokenize(prompts)
     feats = jax.jit(lambda p, t: M.normalize(

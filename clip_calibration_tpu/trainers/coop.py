@@ -137,12 +137,16 @@ class CoOp(VLBaseLearner):
     trainer_cfg_key = "COOP"
 
     def check_cfg(self, cfg):
-        assert cfg.TRAINER.COOP.PREC in ("fp16", "fp32", "amp")
+        assert cfg.TRAINER[self.trainer_cfg_key].PREC in (
+            "fp16", "fp32", "amp")
 
     # -- model ----------------------------------------------------------------
+    def trainer_cfg(self):
+        return self.cfg.TRAINER[self.trainer_cfg_key]
+
     def build_model(self):
         cfg = self.cfg
-        tcfg = cfg.TRAINER.COOP
+        tcfg = self.trainer_cfg()
         classnames = self.dm.dataset.classnames
 
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
@@ -156,9 +160,17 @@ class CoOp(VLBaseLearner):
                 f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal clip_imsize "
                 f"({self.clip_cfg.image_resolution})")
 
+        # KgCoOp/ProGrad configs use CTX_INIT: True meaning "a photo of a"
+        # (reference kgcoop.py:102-105)
+        ctx_init = tcfg.CTX_INIT
+        if ctx_init is True:
+            ctx_init = "a photo of a"
+        elif ctx_init is False:
+            ctx_init = ""
+        position = tcfg.get("CLASS_TOKEN_POSITION", "end")
         asm = build_prompt_assembly(
-            classnames, tcfg.N_CTX, tcfg.CLASS_TOKEN_POSITION,
-            tcfg.CTX_INIT, self.clip_params, self.compute_dtype)
+            classnames, tcfg.N_CTX, position, ctx_init,
+            self.clip_params, self.compute_dtype)
         self.asm = asm
         n_ctx = asm["n_ctx"]
         ctx_dim = self.clip_cfg.transformer_width
@@ -168,7 +180,7 @@ class CoOp(VLBaseLearner):
         rng = jax.random.PRNGKey(max(cfg.SEED, 0))
         if asm["ctx_vectors"] is not None:
             ctx = jnp.asarray(asm["ctx_vectors"], jnp.float32)
-        elif tcfg.CSC:
+        elif tcfg.get("CSC", False):
             print("Initializing class-specific contexts")
             ctx = jax.random.normal(
                 rng, (len(classnames), n_ctx, ctx_dim)) * 0.02
@@ -183,7 +195,11 @@ class CoOp(VLBaseLearner):
         self.register_model("prompt_learner", trainable, opt,
                             opt.init(trainable))
 
+        self.post_build()  # subclass hook (e.g. zero-shot teacher feats)
         self._build_steps()
+
+    def post_build(self):
+        pass
 
     def _text_features(self, frozen, trainable):
         prompts = assemble_prompts(trainable["ctx"], self.asm)
@@ -195,16 +211,17 @@ class CoOp(VLBaseLearner):
         return M.encode_image(frozen, self.clip_cfg, x,
                               dtype=self.compute_dtype)
 
-    def _build_steps(self):
-        ccfg = self.clip_cfg
+    def _loss(self, trainable, frozen, images, labels):
+        """Subclass hook: returns scalar loss (default CE)."""
+        txt_f = self._text_features(frozen, trainable)
+        img_f = self._image_features(frozen, images)
+        logits = M.cosine_logits(img_f, txt_f, frozen["logit_scale"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
 
+    def _build_steps(self):
         def loss_fn(trainable, frozen, images, labels):
-            txt_f = self._text_features(frozen, trainable)
-            img_f = self._image_features(frozen, images)
-            logits = M.cosine_logits(img_f, txt_f, frozen["logit_scale"])
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels).mean()
-            return loss
+            return self._loss(trainable, frozen, images, labels)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(trainable, opt_state, frozen, images, labels):

@@ -1,0 +1,61 @@
+"""Smoke tests: every registered trainer trains 2 epochs on the synthetic
+dataset with the tiny backbone through the CLI, evaluates via the full
+calibration pipeline, and decreases (or at least produces) a finite loss.
+"""
+
+import os
+import os.path as osp
+import re
+import sys
+
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = ["--dataset-config-file",
+        osp.join(REPO, "configs/datasets/synthetic.yaml"),
+        "--backbone", "ViT-Test", "--seed", "1"]
+OPTS = ["DATASET.NUM_SHOTS", "8", "DATASET.SUBSAMPLE_CLASSES", "base",
+        "INPUT.SIZE", "(32, 32)", "INPUT.INTERPOLATION", "bicubic",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+        "DATALOADER.TEST.BATCH_SIZE", "32",
+        "OPTIM.NAME", "sgd", "OPTIM.LR", "0.02",
+        "OPTIM.MAX_EPOCH", "2", "OPTIM.LR_SCHEDULER", "cosine"]
+
+
+def _run(args):
+    from train import build_parser, main
+    main(build_parser().parse_args(args))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("trainers")
+    old = os.getcwd()
+    os.chdir(wd)
+    # prerequisite: zero-shot base features for the calibration pipeline
+    _run(["--root", str(wd / "data"), "--trainer", "ZeroshotCLIP",
+          "--output-dir", "output/zs/seed1"] + BASE + OPTS)
+    yield str(wd)
+    os.chdir(old)
+    sys.stdout = sys.__stdout__
+
+
+TRAINERS = ["KgCoOp", "CLIP_Adapter", "VPT", "TaskRes"]
+
+
+@pytest.mark.parametrize("trainer", TRAINERS)
+def test_trainer_smoke(workdir, trainer):
+    extra = []
+    if trainer == "KgCoOp":
+        extra = ["TRAINER.KGCOOP.N_CTX", "4"]
+    _run(["--root", osp.join(workdir, "data"), "--trainer", trainer,
+          "--output-dir", f"output/{trainer}/seed1"] + BASE + OPTS + extra)
+    log = open(f"output/{trainer}/seed1/log.txt").read()
+    assert "=> result" in log
+    losses = [float(m) for m in re.findall(r"loss (\d+\.\d+) \(", log)]
+    assert losses, "no loss lines logged"
+    assert all(l == l and l != float("inf") for l in losses)  # finite
+    acc = float(re.search(r"\* accuracy: (\d+\.\d+)%", log).group(1))
+    assert 0.0 <= acc <= 100.0
