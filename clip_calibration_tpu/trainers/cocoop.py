@@ -1,0 +1,158 @@
+"""CoCoOp: conditional (instance-conditioned) context optimization.
+
+Parity target: ``/root/reference/trainers/classification/cocoop.py``.
+A meta-net MLP (vis_dim -> vis_dim/16 -> ctx_dim) maps each image's
+features to a bias added to the shared context; every image then gets its
+own n_cls text encodes (``cocoop.py:156-199``).
+
+TPU-first: the reference loops per image in Python; here the per-image
+n_cls x 77-token text encode runs under ``jax.lax.map`` over the batch —
+on-device sequential over images (bounded memory: one [n_cls, 77, D]
+activation at a time) with the class dimension batched onto the MXU. For
+multi-chip, the class axis of each per-image encode shards over the
+"model" mesh axis (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.optim import build_optimizer
+from ..engine.registry import TRAINER_REGISTRY
+from ..models import clip as M
+from ..models.backbone import load_clip_backbone
+from ..ops.preprocess import normalize_images
+from .base_learner import VLBaseLearner
+from .coop import build_prompt_assembly
+
+
+def meta_net_forward(p, x):
+    h = jnp.maximum(jnp.dot(x, p["w1"].astype(x.dtype))
+                    + p["b1"].astype(x.dtype), 0)
+    return jnp.dot(h, p["w2"].astype(x.dtype)) + p["b2"].astype(x.dtype)
+
+
+@TRAINER_REGISTRY.register()
+class CoCoOp(VLBaseLearner):
+
+    def check_cfg(self, cfg):
+        assert cfg.TRAINER.COCOOP.PREC in ("fp16", "fp32", "amp")
+
+    def build_model(self):
+        cfg = self.cfg
+        tcfg = cfg.TRAINER.COCOOP
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.clip_params, self.clip_cfg = load_clip_backbone(
+            cfg.MODEL.BACKBONE.NAME)
+        self.compute_dtype = jnp.bfloat16
+
+        asm = build_prompt_assembly(classnames, tcfg.N_CTX, "end",
+                                    tcfg.CTX_INIT, self.clip_params,
+                                    self.compute_dtype)
+        self.asm = asm
+        n_ctx = asm["n_ctx"]
+        ctx_dim = self.clip_cfg.transformer_width
+        vis_dim = self.clip_cfg.embed_dim
+        print(f'Initial context: "{asm["prompt_prefix"]}"')
+        print(f"Number of context words (tokens): {n_ctx}")
+
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        k_ctx, k1, k2 = jax.random.split(rng, 3)
+        if asm["ctx_vectors"] is not None:
+            ctx = jnp.asarray(asm["ctx_vectors"], jnp.float32)
+        else:
+            ctx = jax.random.normal(k_ctx, (n_ctx, ctx_dim)) * 0.02
+        hid = vis_dim // 16
+        lim1 = (1.0 / vis_dim) ** 0.5
+        lim2 = (1.0 / hid) ** 0.5
+        trainable = {
+            "ctx": ctx,
+            "meta": {
+                "w1": jax.random.uniform(k1, (vis_dim, hid), jnp.float32,
+                                         -lim1, lim1),
+                "b1": jnp.zeros((hid,), jnp.float32),
+                "w2": jax.random.uniform(k2, (hid, ctx_dim), jnp.float32,
+                                         -lim2, lim2),
+                "b2": jnp.zeros((ctx_dim,), jnp.float32),
+            },
+        }
+        steps = max(len(self.train_loader_x), 1)
+        opt, _ = build_optimizer(cfg, steps)
+        self.opt = opt
+        self.register_model("prompt_learner", trainable, opt,
+                            opt.init(trainable))
+        self._build_steps()
+
+    # -- forward ----------------------------------------------------------
+    def _forward(self, trainable, frozen, images):
+        """Returns (logits [B, n_cls], img_f, last image's txt_f)."""
+        asm = self.asm
+        emb = asm["embedding"]
+        n_ctx = asm["n_ctx"]
+        ccfg = self.clip_cfg
+
+        x = normalize_images(images, dtype=self.compute_dtype)
+        img_f = M.normalize(M.encode_image(frozen, ccfg, x,
+                                           dtype=self.compute_dtype))
+
+        bias = meta_net_forward(trainable["meta"],
+                                img_f.astype(jnp.float32))  # [B, D]
+        ctx = trainable["ctx"][None] + bias[:, None]  # [B, n_ctx, D]
+
+        scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+
+        def per_image(args):
+            ctx_i, imf_i = args
+            tiled = jnp.broadcast_to(
+                ctx_i.astype(emb.dtype)[None],
+                (emb.shape[0], n_ctx, emb.shape[-1]))
+            prompts = jnp.concatenate(
+                [emb[:, :1], tiled, emb[:, 1 + n_ctx:]], axis=1)
+            txt_f = M.encode_text_embedded(frozen, ccfg, prompts,
+                                           asm["eot_pos"])
+            txt_n = M.normalize(txt_f)
+            l_i = scale * jnp.dot(imf_i.astype(jnp.float32),
+                                  txt_n.astype(jnp.float32).T)
+            return l_i, txt_n
+
+        logits, txt_all = jax.lax.map(per_image, (ctx, img_f))
+        return logits, img_f, txt_all[-1]
+
+    def _build_steps(self):
+        def loss_fn(trainable, frozen, images, labels):
+            logits, _, _ = self._forward(trainable, frozen, images)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(trainable, opt_state, frozen, images, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, frozen, images, labels)
+            updates, opt_state = self.opt.update(grads, opt_state,
+                                                 trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        @jax.jit
+        def infer_step(trainable, frozen, images):
+            return self._forward(trainable, frozen, images)
+
+        self._train_step = train_step
+        self._infer_step = infer_step
+
+    def forward_backward(self, batch):
+        images, labels = self.parse_batch_train(batch)
+        slot = self._models["prompt_learner"]
+        slot["params"], slot["opt_state"], loss = self._train_step(
+            slot["params"], slot["opt_state"], self.clip_params,
+            jnp.asarray(images), jnp.asarray(labels))
+        return {"loss": float(loss)}
+
+    def model_inference(self, images):
+        return self._infer_step(self._models["prompt_learner"]["params"],
+                                self.clip_params, jnp.asarray(images))

@@ -1,0 +1,160 @@
+"""MaPLe: multi-modal prompt learning.
+
+Parity target: ``/root/reference/trainers/classification/maple.py``.
+A single text context (init "a photo of a") is shared across towers: a
+learnable 512->768 projection produces the shallow vision prompt, and
+per-layer compound text prompts (layers 1..depth-1) each have their own
+512->768 projection producing the corresponding vision prompt
+(``maple.py:108-188``). The reference deep-copies one Linear for all
+per-layer projections, so they start identical — replicated here by
+tiling one initialization.
+
+The reference threads prompts through custom transformer blocks with a
+counter (``clip/model.py:259-331``); here both towers consume the stacked
+prompt arrays through the uniform splice interface.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..engine.optim import build_optimizer
+from ..engine.registry import TRAINER_REGISTRY
+from ..models import clip as M
+from ..models.backbone import load_clip_backbone
+from ..ops.preprocess import normalize_images
+from .base_learner import VLBaseLearner
+from .coop import build_prompt_assembly, assemble_prompts
+
+
+@TRAINER_REGISTRY.register()
+class MaPLe(VLBaseLearner):
+
+    def check_cfg(self, cfg):
+        assert cfg.TRAINER.MAPLE.PREC in ("fp16", "fp32", "amp")
+        assert cfg.TRAINER.MAPLE.PROMPT_DEPTH >= 1, \
+            "For MaPLe, PROMPT_DEPTH should be >= 1"
+
+    def build_model(self):
+        cfg = self.cfg
+        tcfg = cfg.TRAINER.MAPLE
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.clip_params, self.clip_cfg = load_clip_backbone(
+            cfg.MODEL.BACKBONE.NAME)
+        self.compute_dtype = jnp.bfloat16
+        self.depth = tcfg.PROMPT_DEPTH
+        n_ctx = tcfg.N_CTX
+        ctx_dim = self.clip_cfg.transformer_width
+        vis_dim = self.clip_cfg.vision_width
+
+        ctx_init = tcfg.CTX_INIT if (tcfg.CTX_INIT and n_ctx <= 4) else ""
+        asm = build_prompt_assembly(classnames, n_ctx, "end", ctx_init,
+                                    self.clip_params, self.compute_dtype)
+        if ctx_init:
+            # MaPLe keeps N_CTX even when initializing from words
+            asm["n_ctx"] = n_ctx
+        self.asm = asm
+        print("MaPLe design: Multi-modal Prompt Learning")
+        print(f'Initial context: "{asm["prompt_prefix"]}"')
+        print(f"Number of MaPLe context words (tokens): {n_ctx}")
+
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        ks = jax.random.split(rng, 4)
+        if asm["ctx_vectors"] is not None:
+            ctx = jnp.asarray(asm["ctx_vectors"][:n_ctx], jnp.float32)
+        else:
+            ctx = jax.random.normal(ks[0], (n_ctx, ctx_dim)) * 0.02
+
+        lim = (1.0 / ctx_dim) ** 0.5
+        proj_w = jax.random.uniform(ks[1], (ctx_dim, vis_dim), jnp.float32,
+                                    -lim, lim)
+        proj_b = jnp.zeros((vis_dim,), jnp.float32)
+        trainable = {"ctx": ctx, "proj_w": proj_w, "proj_b": proj_b}
+        if self.depth > 1:
+            trainable["compound_text"] = jax.random.normal(
+                ks[2], (self.depth - 1, n_ctx, ctx_dim)) * 0.02
+            # one shared init tiled across layers (reference _get_clones)
+            one_w = jax.random.uniform(ks[3], (ctx_dim, vis_dim),
+                                       jnp.float32, -lim, lim)
+            trainable["compound_proj_w"] = jnp.tile(
+                one_w[None], (self.depth - 1, 1, 1))
+            trainable["compound_proj_b"] = jnp.zeros(
+                (self.depth - 1, vis_dim), jnp.float32)
+
+        steps = max(len(self.train_loader_x), 1)
+        opt, _ = build_optimizer(cfg, steps)
+        self.opt = opt
+        self.register_model("prompt_learner", trainable, opt,
+                            opt.init(trainable))
+        self._build_steps()
+
+    # -- forward pieces ------------------------------------------------------
+    def _prompt_pack(self, trainable):
+        ctx = trainable["ctx"]
+        shallow_vis = (jnp.dot(ctx, trainable["proj_w"])
+                       + trainable["proj_b"])  # [n_ctx, vis_dim]
+        deep_text = trainable.get("compound_text")
+        deep_vis = None
+        if deep_text is not None:
+            deep_vis = (jnp.einsum("lnd,ldv->lnv", deep_text,
+                                   trainable["compound_proj_w"])
+                        + trainable["compound_proj_b"][:, None, :])
+        return ctx, shallow_vis, deep_text, deep_vis
+
+    def _features(self, trainable, frozen, images):
+        ctx, shallow_vis, deep_text, deep_vis = self._prompt_pack(trainable)
+        prompts = assemble_prompts(ctx, self.asm)
+        depth = self.depth if deep_text is not None else 0
+        txt_f = M.encode_text_embedded(
+            frozen, self.clip_cfg, prompts, self.asm["eot_pos"],
+            deep_prompts=deep_text, deep_prompt_depth=depth)
+        x = normalize_images(images, dtype=self.compute_dtype)
+        img_f = M.encode_image(
+            frozen, self.clip_cfg, x, shallow_prompts=shallow_vis,
+            deep_prompts=deep_vis, deep_prompt_depth=depth,
+            dtype=self.compute_dtype)
+        return img_f, txt_f
+
+    def _build_steps(self):
+        def loss_fn(trainable, frozen, images, labels):
+            img_f, txt_f = self._features(trainable, frozen, images)
+            logits = M.cosine_logits(img_f, txt_f, frozen["logit_scale"])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(trainable, opt_state, frozen, images, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, frozen, images, labels)
+            updates, opt_state = self.opt.update(grads, opt_state,
+                                                 trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        @jax.jit
+        def infer_step(trainable, frozen, images):
+            img_f, txt_f = self._features(trainable, frozen, images)
+            img_n, txt_n = M.normalize(img_f), M.normalize(txt_f)
+            scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+            logits = scale * jnp.dot(img_n.astype(jnp.float32),
+                                     txt_n.astype(jnp.float32).T)
+            return logits, img_n, txt_n
+
+        self._train_step = train_step
+        self._infer_step = infer_step
+
+    def forward_backward(self, batch):
+        images, labels = self.parse_batch_train(batch)
+        slot = self._models["prompt_learner"]
+        slot["params"], slot["opt_state"], loss = self._train_step(
+            slot["params"], slot["opt_state"], self.clip_params,
+            jnp.asarray(images), jnp.asarray(labels))
+        return {"loss": float(loss)}
+
+    def model_inference(self, images):
+        return self._infer_step(self._models["prompt_learner"]["params"],
+                                self.clip_params, jnp.asarray(images))

@@ -1,0 +1,248 @@
+"""ProDA: prompt distribution learning.
+
+Parity target: ``/root/reference/trainers/classification/proda.py``.
+A collection of N_PROMPT (32) contexts with mixed class-token positions
+(first quarter front, next quarter middle, rest end — ``proda.py:111-115``);
+each train step samples a PROMPT_BS minibatch of prompts via a per-cycle
+permutation (``proda.py:146-157``, kept as host state here). Training
+logits are the prompt-mean text features plus a covariance correction
+0.5 * scale^2 * sigma (``proda.py:283-292``), and a diversity penalty on
+class-free prompt features (mean |off-diagonal gram|, ``proda.py:296-302``).
+Eval uses an explicit ``set_classifier`` that averages text features over
+all prompts (``proda.py:315-331``), invoked by the test pipeline.
+
+TPU-first: the reference assembles prompts with per-class Python loops
+per step; here the three position variants are precomputed gather maps
+(stacked [3, n_cls, 77]) and each step is one fused gather+select, with
+the (prompt x class) text encode batched onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.optim import build_optimizer
+from ..engine.registry import TRAINER_REGISTRY
+from ..models import clip as M
+from ..models.backbone import load_clip_backbone
+from ..models.tokenizer import tokenize
+from ..ops.preprocess import normalize_images
+from .base_learner import VLBaseLearner
+from .coop import build_prompt_assembly
+
+
+@TRAINER_REGISTRY.register()
+class ProDA(VLBaseLearner):
+
+    def check_cfg(self, cfg):
+        assert cfg.TRAINER.PRODA.PREC in ("fp16", "fp32", "amp")
+
+    def build_model(self):
+        cfg = self.cfg
+        tcfg = cfg.TRAINER.PRODA
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.clip_params, self.clip_cfg = load_clip_backbone(
+            cfg.MODEL.BACKBONE.NAME)
+        self.compute_dtype = jnp.bfloat16
+
+        n_ctx = tcfg.N_CTX
+        self.n_prompt = tcfg.N_PROMPT
+        self.prompt_bs = tcfg.PROMPT_BS
+        self.alpha = tcfg.ALPHA
+        assert self.n_prompt % self.prompt_bs == 0
+        self.n_iter = self.n_prompt // self.prompt_bs
+        ctx_dim = self.clip_cfg.transformer_width
+
+        # assembly maps for the three class-token positions
+        asms = [build_prompt_assembly(classnames, n_ctx, pos, "",
+                                      self.clip_params, self.compute_dtype)
+                for pos in ("front", "middle", "end")]
+        self.embedding = jnp.stack([a["embedding"] for a in asms])
+        self.ctx_idx = jnp.stack([a["ctx_idx"] for a in asms])
+        self.const_mask = jnp.stack([a["const_mask"] for a in asms])
+        self.eot_pos = asms[0]["eot_pos"]
+        self.n_ctx = n_ctx
+        print("Initializing a generic context")
+        print(f"Number of prompts : {self.n_prompt}")
+        print(f"Number of context words (tokens): {n_ctx}")
+
+        # per-prompt positions: quarter front(0), quarter middle(1),
+        # half end(2) (reference proda.py:111-115)
+        if self.n_prompt > 1:
+            q = self.n_prompt // 4
+            pos = [0] * q + [1] * q + [2] * (self.n_prompt - 2 * q)
+        else:
+            pos = [2] * self.n_prompt
+        self.pos = jnp.asarray(pos, jnp.int32)
+
+        # class-free prompts "X X ... X ." for the diversity penalty
+        nc_toks = tokenize(" ".join(["X"] * n_ctx) + " .")
+        emb_table = np.asarray(
+            self.clip_params["text"]["token_embedding"], np.float32)
+        self.nc_embedding = jnp.asarray(emb_table[nc_toks[0]],
+                                        self.compute_dtype)
+        self.nc_eot = int(nc_toks[0].argmax())
+
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        trainable = {"ctx": jax.random.normal(
+            rng, (self.n_prompt, n_ctx, ctx_dim)) * 0.02}
+        steps = max(len(self.train_loader_x), 1)
+        opt, _ = build_optimizer(cfg, steps)
+        self.opt = opt
+        self.register_model("prompt_learner", trainable, opt,
+                            opt.init(trainable))
+
+        # host-side prompt-minibatch permutation state
+        self._perm_rng = np.random.default_rng(max(cfg.SEED, 0))
+        self._perm = None
+        self._iter_idx = 0
+        self.text_features = None  # set by set_classifier
+
+        self._build_steps()
+
+    # -- prompt assembly ------------------------------------------------------
+    def _assemble(self, ctx_batch, pos_batch):
+        """ctx_batch [P, n_ctx, D], pos_batch [P] -> prompts
+        [n_cls, P, 77, D] (position variant per prompt)."""
+        emb = self.embedding[pos_batch]        # [P, n_cls, 77, D]
+        idx = self.ctx_idx[pos_batch]          # [P, n_cls, 77]
+        maskc = self.const_mask[pos_batch]     # [P, n_cls, 77]
+        gathered = ctx_batch.astype(emb.dtype)[
+            jnp.arange(ctx_batch.shape[0])[:, None, None], idx]
+        prompts = jnp.where(maskc[..., None], emb, gathered)
+        return prompts.transpose(1, 0, 2, 3)  # [n_cls, P, 77, D]
+
+    def _text_features_all(self, ctx_batch, pos_batch, frozen):
+        """[n_cls, P, E] normalized text features."""
+        prompts = self._assemble(ctx_batch, pos_batch)
+        n_cls, P, L, D = prompts.shape
+        flat = prompts.reshape(n_cls * P, L, D)
+        eot = jnp.repeat(self.eot_pos, P)
+        txt = M.encode_text_embedded(frozen, self.clip_cfg, flat, eot)
+        return M.normalize(txt).reshape(n_cls, P, -1)
+
+    # -- steps ------------------------------------------------------------------
+    def _build_steps(self):
+        alpha = self.alpha
+        n_prompt = self.n_prompt
+
+        def loss_fn(trainable, frozen, images, labels, batch_idx):
+            ctx = trainable["ctx"]
+            ctx_b = ctx[batch_idx]
+            pos_b = self.pos[batch_idx]
+
+            x = normalize_images(images, dtype=self.compute_dtype)
+            img_f = jax.lax.stop_gradient(M.normalize(M.encode_image(
+                frozen, self.clip_cfg, x, dtype=self.compute_dtype))
+            ).astype(jnp.float32)
+
+            tf = self._text_features_all(ctx_b, pos_b, frozen).astype(
+                jnp.float32)                      # [n_cls, P, E]
+            text_mean = tf.mean(axis=1)           # [n_cls, E]
+            scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+            logits = scale * jnp.dot(img_f, text_mean.T)
+
+            # covariance correction (proda.py:283-292)
+            P = tf.shape[1]
+            centered = tf - text_mean[:, None]
+            cov = jnp.einsum("ipd,kpd->dik", centered,
+                             centered) / (P + 1)
+            refined = jnp.einsum("bd,dik->bik", img_f ** 2, cov)
+            b = jnp.arange(labels.shape[0])
+            n_cls = text_mean.shape[0]
+            diag = refined[:, jnp.arange(n_cls), jnp.arange(n_cls)]
+            sigma = (refined[b, labels, labels][:, None] + diag
+                     - 2 * refined[b, labels, :])
+            logits = logits + 0.5 * (scale ** 2) * sigma
+            loss_upper = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+            # diversity penalty over ALL prompts (proda.py:296-302)
+            nc = jnp.broadcast_to(
+                self.nc_embedding[None],
+                (n_prompt,) + self.nc_embedding.shape)
+            nc = jnp.concatenate(
+                [nc[:, :1], ctx.astype(nc.dtype),
+                 nc[:, 1 + self.n_ctx:]], axis=1)
+            nc_eots = jnp.full((n_prompt,), self.nc_eot, jnp.int32)
+            nc_f = M.normalize(M.encode_text_embedded(
+                frozen, self.clip_cfg, nc, nc_eots)).astype(jnp.float32)
+            gram = jnp.dot(nc_f, nc_f.T)
+            off = 1.0 - jnp.eye(n_prompt)
+            loss_m = (jnp.abs(gram) * off).sum() / off.sum()
+
+            return loss_upper + alpha * loss_m
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(trainable, opt_state, frozen, images, labels,
+                       batch_idx):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, frozen, images, labels, batch_idx)
+            updates, opt_state = self.opt.update(grads, opt_state,
+                                                 trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        @jax.jit
+        def classifier_step(trainable, frozen):
+            tf = self._text_features_all(trainable["ctx"], self.pos,
+                                         frozen)
+            return tf.mean(axis=1)  # [n_cls, E]
+
+        @jax.jit
+        def infer_step(frozen, txt_f, images):
+            x = normalize_images(images, dtype=self.compute_dtype)
+            img_n = M.normalize(M.encode_image(frozen, self.clip_cfg, x,
+                                               dtype=self.compute_dtype))
+            scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+            logits = scale * jnp.dot(img_n.astype(jnp.float32),
+                                     jnp.asarray(txt_f,
+                                                 jnp.float32).T)
+            return logits, img_n
+
+        self._train_step = train_step
+        self._classifier_step = classifier_step
+        self._infer_step = infer_step
+
+    # -- train ------------------------------------------------------------
+    def _next_prompt_batch(self):
+        if self.n_iter <= 1:
+            return np.arange(self.n_prompt)
+        if self._iter_idx == 0:
+            self._perm = self._perm_rng.permutation(self.n_prompt)
+        sel = self._perm[self._iter_idx * self.prompt_bs:
+                         (self._iter_idx + 1) * self.prompt_bs]
+        self._iter_idx = (self._iter_idx + 1) % self.n_iter
+        return sel
+
+    def forward_backward(self, batch):
+        images, labels = self.parse_batch_train(batch)
+        batch_idx = jnp.asarray(self._next_prompt_batch())
+        slot = self._models["prompt_learner"]
+        slot["params"], slot["opt_state"], loss = self._train_step(
+            slot["params"], slot["opt_state"], self.clip_params,
+            jnp.asarray(images), jnp.asarray(labels), batch_idx)
+        self.text_features = None  # classifier stale
+        return {"loss": float(loss)}
+
+    # -- eval ---------------------------------------------------------------
+    def set_classifier(self):
+        self.text_features = self._classifier_step(
+            self._models["prompt_learner"]["params"], self.clip_params)
+
+    def model_inference(self, images):
+        if self.text_features is None:
+            self.set_classifier()
+        logits, img_n = self._infer_step(self.clip_params,
+                                         self.text_features,
+                                         jnp.asarray(images))
+        return logits, img_n, self.text_features
+
+    def load_model(self, directory, epoch=None):
+        super().load_model(directory, epoch)
+        self.text_features = None

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Evaluate a base-trained model on new classes.
+# usage: base2new_fewshot_test.sh TRAINER CFG DATASET DATA SHOTS SEED LOADEP [CALIBRATION_CFG]
+TRAINER=$1; CFG=$2; DATASET=$3; DATA=$4; SHOTS=$5; SEED=$6; LOADEP=$7; CALIBRATION_CFG=$8
+SUB=new
+COMMON_DIR=${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
+MODEL_DIR=output/base2new/train_base/${COMMON_DIR}
+DIR=output/base2new/test_${SUB}/${COMMON_DIR}
+echo "Evaluating model -> ${DIR}"
+python train.py \
+  --root "${DATA}" \
+  --seed "${SEED}" \
+  --trainer "${TRAINER}" \
+  --dataset-config-file configs/datasets/${DATASET}.yaml \
+  --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
+  --calibration-config "${CALIBRATION_CFG}" \
+  --output-dir "${DIR}" \
+  --model-dir "${MODEL_DIR}" \
+  --load-epoch "${LOADEP}" \
+  --eval-only \
+  DATASET.NUM_SHOTS "${SHOTS}" \
+  DATASET.SUBSAMPLE_CLASSES ${SUB}

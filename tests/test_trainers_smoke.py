@@ -42,7 +42,8 @@ def workdir(tmp_path_factory):
     sys.stdout = sys.__stdout__
 
 
-TRAINERS = ["KgCoOp", "CLIP_Adapter", "VPT", "TaskRes"]
+TRAINERS = ["KgCoOp", "CLIP_Adapter", "VPT", "TaskRes", "CoCoOp",
+            "ProGrad", "MaPLe", "PromptSRC", "ProDA"]
 
 
 @pytest.mark.parametrize("trainer", TRAINERS)
@@ -50,6 +51,21 @@ def test_trainer_smoke(workdir, trainer):
     extra = []
     if trainer == "KgCoOp":
         extra = ["TRAINER.KGCOOP.N_CTX", "4"]
+    elif trainer == "CoCoOp":
+        extra = ["TRAINER.COCOOP.N_CTX", "4"]
+    elif trainer == "ProGrad":
+        extra = ["TRAINER.PROGRAD.N_CTX", "4"]
+    elif trainer == "MaPLe":
+        extra = ["TRAINER.MAPLE.PROMPT_DEPTH", "2"]  # ViT-Test: 2 layers
+    elif trainer == "PromptSRC":
+        extra = ["TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION", "2",
+                 "TRAINER.PROMPTSRC.PROMPT_DEPTH_TEXT", "2",
+                 "TRAINER.PROMPTSRC.GPA_MEAN", "1",
+                 "TRAINER.PROMPTSRC.GPA_STD", "1"]
+    elif trainer == "ProDA":
+        extra = ["TRAINER.PRODA.N_PROMPT", "8",
+                 "TRAINER.PRODA.PROMPT_BS", "4",
+                 "TRAINER.PRODA.N_CTX", "4"]
     _run(["--root", osp.join(workdir, "data"), "--trainer", trainer,
           "--output-dir", f"output/{trainer}/seed1"] + BASE + OPTS + extra)
     log = open(f"output/{trainer}/seed1/log.txt").read()
