@@ -176,3 +176,32 @@ def test_save_load_bf16_roundtrip(tmp_path, golden):
     np.testing.assert_array_equal(
         np.asarray(params["visual"]["patch_kernel"]).view(np.uint16),
         np.asarray(pk).view(np.uint16))
+
+
+def test_modified_resnet_parity():
+    """Tiny ModifiedResNet vs reference torch activations (fp32)."""
+    from clip_calibration_tpu.models.resnet import (
+        convert_torch_resnet, modified_resnet_forward)
+    data = np.load(osp.join(osp.dirname(__file__), "fixtures",
+                            "resnet_golden.npz"))
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    cfg = M.CLIPConfig(embed_dim=32, image_resolution=64,
+                       vision_layers=(1, 1, 1, 1), vision_width=16,
+                       vision_patch_size=None, transformer_width=64,
+                       transformer_heads=2, transformer_layers=2)
+    params = convert_torch_resnet(sd, cfg, np.float32)
+    out = modified_resnet_forward(params, cfg,
+                                  jnp.asarray(data["x"], jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), data["out"], rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_rn50_preset_init_runs():
+    from clip_calibration_tpu.models.resnet import (
+        init_modified_resnet, modified_resnet_forward)
+    cfg = M.PRESETS["RN50"]
+    visual = init_modified_resnet(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 224, 224, 3))
+    out = modified_resnet_forward(visual, cfg, x)
+    assert out.shape == (1, 1024)
