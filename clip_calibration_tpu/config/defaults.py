@@ -266,5 +266,7 @@ def get_cfg_default() -> CN:
     cfg.TPU.DTYPE = "bfloat16"       # compute dtype for the encoders
     cfg.TPU.USE_PALLAS = "auto"      # auto | always | never
     cfg.TPU.DONATE_BUFFERS = True
+    cfg.TPU.PROFILE_DIR = ""         # jax.profiler trace output dir
+    cfg.TPU.PROFILE_STEPS = 20       # steps of epoch 0 to trace
 
     return cfg

@@ -131,11 +131,23 @@ class TrainerX:
     def run_epoch(self):
         meter = MetricMeter()
         self.num_batches = len(self.train_loader_x)
+        profile_dir = self.cfg.TPU.PROFILE_DIR
+        profiling = bool(profile_dir) and self.epoch == 0
+        if profiling:
+            import jax
+            print(f"Tracing first {self.cfg.TPU.PROFILE_STEPS} steps "
+                  f"to {profile_dir}")
+            jax.profiler.start_trace(profile_dir)
         end = time.time()
         for self.batch_idx, batch in enumerate(self.train_loader_x):
             data_time = time.time() - end
             loss_summary = self.forward_backward(batch)
             batch_time = time.time() - end
+            if profiling and self.batch_idx + 1 >= \
+                    self.cfg.TPU.PROFILE_STEPS:
+                import jax
+                jax.profiler.stop_trace()
+                profiling = False
             meter.update(loss_summary)
             if ((self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
                     or self.num_batches < self.cfg.TRAIN.PRINT_FREQ):
@@ -149,6 +161,9 @@ class TrainerX:
                     f"time {batch_time:.3f} data {data_time:.3f} "
                     f"eta {eta} {meter}")
             end = time.time()
+        if profiling:  # epoch shorter than PROFILE_STEPS
+            import jax
+            jax.profiler.stop_trace()
 
     def after_epoch(self):
         last_epoch = (self.epoch + 1) == self.max_epoch

@@ -125,6 +125,28 @@ class TaskRes(VLBaseLearner):
             jnp.asarray(images), jnp.asarray(labels))
         return {"loss": float(loss)}
 
+    def _set_params(self, name, loaded):
+        """On ImageNet-A/R cross-dataset eval, subset 1000-class residuals
+        from an ImageNet-trained checkpoint down to the 200 present
+        classes via the precomputed index maps (reference
+        ``taskres.py:318-327`` + ``imagenet_a_r_indexes_v2.py``; index
+        arrays stored as a data asset)."""
+        ds = self.cfg.DATASET.NAME
+        res = loaded.get("residual")
+        if ds in ("ImageNetA", "ImageNetR") and res is not None \
+                and np.asarray(res).shape[0] == 1000:
+            import json
+            import os.path as osp
+            asset = osp.join(osp.dirname(osp.dirname(osp.dirname(
+                osp.abspath(__file__)))), "assets",
+                "imagenet_a_r_indexes.json")
+            with open(asset) as f:
+                key = "imagenet_a" if ds == "ImageNetA" else "imagenet_r"
+                idx = np.asarray(json.load(f)[key])
+            loaded = dict(loaded)
+            loaded["residual"] = np.asarray(res)[idx]
+        super()._set_params(name, loaded)
+
     def model_inference(self, images):
         return self._infer_step(self._models["taskres_learner"]["params"],
                                 self.clip_params, jnp.asarray(images))
