@@ -15,10 +15,29 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# attention backend: "auto" uses the Pallas fused kernel on TPU and the
+# XLA path elsewhere; override with set_attention_impl or CLIP_CAL_ATTN
+_ATTENTION_IMPL = os.environ.get("CLIP_CAL_ATTN", "auto")
+
+
+def set_attention_impl(name: str) -> None:
+    global _ATTENTION_IMPL
+    assert name in ("auto", "pallas", "xla")
+    _ATTENTION_IMPL = name
+
+
+def _use_pallas() -> bool:
+    if _ATTENTION_IMPL == "pallas":
+        return True
+    if _ATTENTION_IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -58,13 +77,17 @@ def multi_head_attention(
 
     q, k, v = heads(q), heads(k), heads(v)
     scale = 1.0 / (head_dim ** 0.5)
-    # fp32 accumulation on the MXU for the score matmul
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = scores + mask.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if _use_pallas():
+        from .pallas_attention import pallas_mha
+        out = pallas_mha(q * scale, k, v, mask)
+    else:
+        # fp32 accumulation on the MXU for the score matmul
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
 
