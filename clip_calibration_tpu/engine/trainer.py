@@ -247,8 +247,17 @@ class TrainerX:
 
     def resume_model_if_exist(self, directory: str):
         try:
-            self.load_model(directory)
-            print(f"Resumed from {directory}")
+            resumed_epoch = 0
+            for name in self.get_model_names():
+                path = resolve_model_file(osp.join(directory, name))
+                ckpt = load_checkpoint(path)
+                state = ckpt["state_dict"]
+                state.pop("token_prefix", None)
+                state.pop("token_suffix", None)
+                self._set_params(name, state)
+                resumed_epoch = max(resumed_epoch, ckpt["epoch"])
+            self.start_epoch = resumed_epoch
+            print(f"Resumed from {directory} (epoch {resumed_epoch})")
         except FileNotFoundError:
             print(f"No checkpoint to resume at {directory}")
 

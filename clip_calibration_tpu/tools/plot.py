@@ -59,3 +59,59 @@ def plot_reliability_diagram(preds, confs, labels, n_bins: int = 15,
         fig.savefig(save_dir)
     plt.close(fig)
     return ece
+
+
+def plot_proximity_conf(proximity, conf, save_dir, sort_by_conf=True):
+    """Scatter of sample proximity vs confidence (analysis helper,
+    reference ``tools/plot.py:75-119``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    proximity = np.asarray(proximity, np.float64)
+    conf = np.asarray(conf, np.float64)
+    order = np.argsort(conf if sort_by_conf else proximity)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.scatter(proximity[order], conf[order], s=4, alpha=0.3)
+    ax.set_xlabel("Proximity")
+    ax.set_ylabel("Confidence")
+    fig.tight_layout()
+    fig.savefig(save_dir)
+    plt.close(fig)
+
+
+def plot_proximity_acc_ece(proximity, pred, label, conf, save_dir,
+                           n_bins: int = 10):
+    """Per-proximity-quantile accuracy / confidence / ECE panels
+    (analysis helper, reference ``tools/plot.py:140-225``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from .metrics import ECE, _quantile_bins
+
+    proximity = np.asarray(proximity, np.float64)
+    pred = np.asarray(pred)
+    label = np.asarray(label)
+    conf = np.asarray(conf, np.float64)
+    bin_ids = _quantile_bins(proximity, n_bins)
+
+    accs, confs, eces, centers = [], [], [], []
+    for b in range(n_bins):
+        in_bin = bin_ids == b
+        if not in_bin.any():
+            continue
+        accs.append(np.mean(pred[in_bin] == label[in_bin]))
+        confs.append(np.mean(conf[in_bin]))
+        eces.append(ECE(conf[in_bin], pred[in_bin], label[in_bin]))
+        centers.append(np.mean(proximity[in_bin]))
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for ax, ys, name in zip(axes, (accs, confs, eces),
+                            ("Accuracy", "Confidence", "ECE")):
+        ax.plot(centers, ys, marker="o")
+        ax.set_xlabel("Proximity (bin mean)")
+        ax.set_ylabel(name)
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(save_dir)
+    plt.close(fig)

@@ -13,7 +13,5 @@ for _mod in ("coop", "cocoop", "kgcoop", "maple", "proda", "prograd",
     except ImportError:
         pass
 
-try:
-    from .calibration import tempscaling  # noqa: F401
-except ImportError:
-    pass
+from .calibration import tempscaling  # noqa: F401
+from .calibration import parameterized_tempscaling  # noqa: F401

@@ -1,0 +1,62 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh."""
+
+import sys
+import os.path as osp
+
+import jax
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh = make_mesh((4, 2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_dryrun_multichip_executes():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_sharded_vs_single_device_same_loss():
+    """The sharded train step must compute the same loss as unsharded."""
+    import __graft_entry__ as g
+    import optax
+    import jax.numpy as jnp
+    ccfg, params, ctx, embedding, eot_pos, images, labels = g._setup(
+        "ViT-Test", n_cls=8, batch=8, n_ctx=2)
+    loss_single = jax.jit(
+        lambda *a: g._loss_fn(*a, ccfg, 2))(
+        ctx, params, embedding, eot_pos, images, labels)
+
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh((4, 2))
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    cls_sh = NamedSharding(mesh, P("model"))
+    f = jax.jit(lambda *a: g._loss_fn(*a, ccfg, 2),
+                in_shardings=(repl, repl, cls_sh, cls_sh, data_sh,
+                              data_sh))
+    with mesh:
+        loss_sharded = f(jax.device_put(ctx, repl),
+                         jax.device_put(params, repl),
+                         jax.device_put(embedding, cls_sh),
+                         jax.device_put(eot_pos, cls_sh),
+                         jax.device_put(images, data_sh),
+                         jax.device_put(labels, data_sh))
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-5)

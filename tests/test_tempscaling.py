@@ -83,3 +83,39 @@ def test_scaling_pipeline(tmp_path):
     finally:
         os.chdir(old)
         sys.stdout = sys.__stdout__
+
+
+PTS_JSON = json.dumps({
+    "BASE_CALIBRATION_MODE": "scaling_based",
+    "SCALING_CONFIG": osp.join(
+        REPO,
+        "configs/calibration/ParameterizedTempScaling/ep5_lr5e-2.yaml"),
+    "BIN_CALIBRATOR_NAME": None, "IF_DAC": False, "IF_PROCAL": False})
+
+
+def test_parameterized_tempscaling(tmp_path):
+    """PTS end-to-end: zs base -> CoOp base -> PTS scaling train."""
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    try:
+        _run(["--root", root, "--trainer", "ZeroshotCLIP",
+              "--output-dir", "output/zs_base/seed1"] + DATA_OPTS +
+             SHARED + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+        _run(["--root", root, "--trainer", "CoOp",
+              "--output-dir", "output/train_base/seed1"] + DATA_OPTS +
+             SHARED + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+        _run(["--root", root, "--trainer", "CoOp",
+              "--output-dir", "output/train_base/seed1",
+              "--base-dir", "output/train_base/seed1",
+              "--calibration-config", PTS_JSON] + DATA_OPTS +
+             SHARED + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+        assert osp.exists("output/train_base/seed1/scale_learner/"
+                          "model-calibrated.pth.tar-5")
+        log = open(
+            "output/train_base/seed1/"
+            "log_ParameterizedTempScaling.txt").read()
+        assert "=> result" in log
+    finally:
+        os.chdir(old)
+        sys.stdout = sys.__stdout__
