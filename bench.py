@@ -66,15 +66,19 @@ def main():
 
     res = cfg.image_resolution
     best = None
-    for batch in (128, 256, 512):
+    for batch in (256, 512):
         images = (jax.random.uniform(
             jax.random.PRNGKey(1), (batch, res, res, 3)) * 255
         ).astype(jnp.uint8)
         images = jax.device_put(images, dev)
         int(chained(params, images, 2))  # compile + warmup
-        t0 = time.perf_counter()
-        int(chained(params, images, N_ITERS))
-        dt = time.perf_counter() - t0
+        # median of repeats: shared-tunnel TPU timing is noisy
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(chained(params, images, N_ITERS))
+            trials.append(time.perf_counter() - t0)
+        dt = sorted(trials)[len(trials) // 2]
         ips = batch * N_ITERS / dt
         if best is None or ips > best[1]:
             best = (batch, ips)
