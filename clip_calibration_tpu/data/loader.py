@@ -53,7 +53,10 @@ class DataLoader:
     def __len__(self):
         n = len(self.data_source)
         if self.is_train:
-            return n // self.batch_size
+            # Dassl semantics: drop_last only when a full batch exists —
+            # a dataset smaller than the batch size yields ONE partial
+            # batch instead of silently training nothing
+            return n // self.batch_size if n >= self.batch_size else 1
         return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int) -> None:

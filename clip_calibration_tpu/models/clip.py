@@ -329,6 +329,14 @@ def encode_image(
     deep_prompts: [depth-1, n_ctx, width] per-layer replacements.
     """
     if not cfg.is_vit:
+        if shallow_prompts is not None or deep_prompts is not None:
+            # the reference has no ResNet prompt path either (its
+            # ModifiedResNet.forward takes no prompt arguments and MaPLe/
+            # VPT on RN50 would TypeError there); fail loudly instead of
+            # silently dropping the prompts
+            raise ValueError(
+                "Vision prompts are not supported with ResNet backbones; "
+                "use a ViT backbone for prompt-injection trainers")
         from .resnet import modified_resnet_forward
         return modified_resnet_forward(params["visual"], cfg,
                                        images.astype(dtype))

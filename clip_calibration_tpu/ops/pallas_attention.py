@@ -38,14 +38,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
         v.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def pallas_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                mask: jnp.ndarray | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """Fused attention over [B, H, L, D] (q pre-scaled by caller).
 
-    mask: optional [L, L] additive fp32 mask (e.g. causal).
+    mask: optional [L, L] additive fp32 mask (e.g. causal). Forward runs
+    the Pallas kernel; the backward pass (custom VJP below) recomputes
+    probabilities with XLA ops — pallas_call has no autodiff rule, and
+    prompt-tuning backprops through both towers.
     """
+    return _pallas_mha_fwd_impl(q, k, v, mask, interpret)
+
+
+def _pallas_mha_fwd_impl(q, k, v, mask, interpret):
     B, H, L, D = q.shape
     Lp = _round_up(L, 16)
 
@@ -79,3 +86,31 @@ def pallas_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qp, kp, vp, full_mask)
 
     return out.reshape(B, H, Lp, D)[:, :, :L, :]
+
+
+def _pallas_mha_fwd(q, k, v, mask, interpret):
+    return _pallas_mha_fwd_impl(q, k, v, mask, interpret), (q, k, v, mask)
+
+
+def _pallas_mha_bwd(interpret, residuals, g):
+    """Standard attention backward, recomputing probs (XLA ops)."""
+    q, k, v, mask = residuals
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    if mask is not None:
+        s = s + mask.astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dmask)
+
+
+pallas_mha.defvjp(_pallas_mha_fwd, _pallas_mha_bwd)

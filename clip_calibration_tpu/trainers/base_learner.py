@@ -159,19 +159,25 @@ class VLBaseLearner(TrainerX):
             self.get_text_features(text_features_test))
         calibrator.fit()
 
-        # test-set proximity (cached)
+        # test-set proximity (cached only for the test split: the cache
+        # path has no split component, so a best_val-driven val eval must
+        # not overwrite the test run's distances)
         base_val_image_features = val_dict["val_image_features"]
-        dist_dir = self._knndist_dir()
-        dist_path = osp.join(dist_dir, "knndist.npy")
         k = cfg.CALIBRATION.PROCAL.IMAGE_K
-        if osp.exists(dist_path):
-            print(f"load the knn distance from: {dist_path}")
-            knndists = np.load(dist_path)
+        if split == "test":
+            dist_dir = self._knndist_dir()
+            dist_path = osp.join(dist_dir, "knndist.npy")
+            if osp.exists(dist_path):
+                print(f"load the knn distance from: {dist_path}")
+                knndists = np.load(dist_path)
+            else:
+                knndists = get_knn_dists(base_val_image_features,
+                                         image_features_test, k)
+                os.makedirs(dist_dir, exist_ok=True)
+                np.save(dist_path, knndists)
         else:
             knndists = get_knn_dists(base_val_image_features,
                                      image_features_test, k)
-            os.makedirs(dist_dir, exist_ok=True)
-            np.save(dist_path, knndists)
         test_img_proximity = proximity_from_dists(knndists)
 
         probs = calibrator.predict(logits, test_img_proximity)

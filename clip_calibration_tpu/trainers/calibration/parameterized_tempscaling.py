@@ -30,10 +30,10 @@ def pts_log_scale(params, cos_logits: jnp.ndarray) -> jnp.ndarray:
     """[N, C] unit logits -> [N] per-sample log temperature scale."""
     k = params["w_in"].shape[0]
     top = jax.lax.top_k(cos_logits, k)[0]  # sorted descending
-    h = top
-    h = jnp.maximum(jnp.dot(h, params["w_in"]) + params["b_in"], 0)
-    for w, b in zip(params["ws"], params["bs"]):
-        h = jnp.maximum(jnp.dot(h, w) + b, 0)
+    h = jnp.maximum(jnp.dot(top, params["w_in"]) + params["b_in"], 0)
+    # stacked [n_mid, nodes, nodes] hidden layers (possibly n_mid == 0)
+    for i in range(params["ws"].shape[0]):
+        h = jnp.maximum(jnp.dot(h, params["ws"][i]) + params["bs"][i], 0)
     out = jnp.dot(h, params["w_out"]) + params["b_out"]  # [N, 1]
     return params["s0"] + out[:, 0]
 
@@ -56,15 +56,17 @@ class ParameterizedTempScaling(TempScaling):
             return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
                                       -lim, lim)
 
+        n_mid = max(n_layers - 2, 0)
+        mid_ws = (jnp.stack([lin(ks[1 + i], nodes, nodes)
+                             for i in range(n_mid)])
+                  if n_mid else jnp.zeros((0, nodes, nodes), jnp.float32))
         trainable = {
             "s0": jnp.asarray(cfg.CALIBRATION.SCALING.INIT_TEMP,
                               jnp.float32),
             "w_in": lin(ks[0], k, nodes),
             "b_in": jnp.zeros((nodes,), jnp.float32),
-            "ws": [lin(ks[1 + i], nodes, nodes)
-                   for i in range(max(n_layers - 2, 0))],
-            "bs": [jnp.zeros((nodes,), jnp.float32)
-                   for _ in range(max(n_layers - 2, 0))],
+            "ws": mid_ws,
+            "bs": jnp.zeros((n_mid, nodes), jnp.float32),
             "w_out": lin(ks[-1], nodes, 1) * 0.01,  # start near identity
             "b_out": jnp.zeros((1,), jnp.float32),
         }
@@ -89,14 +91,7 @@ class ParameterizedTempScaling(TempScaling):
         self._scale_step = scale_step
 
     def forward_backward(self, batch):
-        key = tuple(batch["impath"])
-        if key in self._cos_cache:
-            cos, labels = self._cos_cache[key]
-        else:
-            images, labels = self.parse_batch_train(batch)
-            cos, _, _ = self._unit_logits(images)
-            labels = np.asarray(labels)
-            self._cos_cache[key] = (cos, labels)
+        cos, labels = self._cached_cos(batch)
         slot = self._models["scale_learner"]
         slot["params"], slot["opt_state"], loss = self._scale_step(
             slot["params"], slot["opt_state"], jnp.asarray(cos),

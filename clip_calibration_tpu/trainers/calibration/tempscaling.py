@@ -35,14 +35,12 @@ class TempScaling(VLBaseLearner):
 
     def build_data_loader(self):
         super().build_data_loader()
-        # calibrate on the validation split
+        # calibrate on the validation split: the reference re-points
+        # train_loader_x at the val loader itself (sequential, TEST batch
+        # size) — deterministic batches also make the per-batch logit
+        # cache below effective across the scaling epochs
         if self.val_loader is not None:
-            self.train_loader_x = type(self.val_loader)(
-                self.val_loader.data_source,
-                self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-                self.val_loader.transform, is_train=True,
-                num_workers=self.cfg.DATALOADER.NUM_WORKERS,
-                seed=max(self.cfg.SEED, 0))
+            self.train_loader_x = self.val_loader
 
     def build_model(self):
         cfg = self.cfg
@@ -97,15 +95,20 @@ class TempScaling(VLBaseLearner):
         return cos, img_f, txt_f
 
     # -- train -------------------------------------------------------------
-    def forward_backward(self, batch):
+    def _cached_cos(self, batch):
+        """Frozen-model cosine logits for the batch (cached per batch —
+        the base model never changes during scaling); padded rows from
+        the sequential loader's final batch are sliced off."""
+        n = batch["n_real"]
         key = tuple(batch["impath"])
-        if key in self._cos_cache:
-            cos, labels = self._cos_cache[key]
-        else:
+        if key not in self._cos_cache:
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
-            labels = np.asarray(labels)
-            self._cos_cache[key] = (cos, labels)
+            self._cos_cache[key] = (cos[:n], np.asarray(labels)[:n])
+        return self._cos_cache[key]
+
+    def forward_backward(self, batch):
+        cos, labels = self._cached_cos(batch)
         slot = self._models["scale_learner"]
         slot["params"], slot["opt_state"], loss = self._scale_step(
             slot["params"], slot["opt_state"], jnp.asarray(cos),

@@ -36,8 +36,15 @@ _tokenizer = CLIPTokenizer()
 
 
 def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
-                          str, ctx_init: str, clip_params, compute_dtype):
+                          str, ctx_init: str, clip_params, compute_dtype,
+                          ctx_slots: int | None = None):
     """Precompute everything needed to splice [SOS | ctx | class EOS] rows.
+
+    ctx_slots: number of LEARNABLE positions when it differs from the init
+    phrase length (MaPLe: N_CTX=2 with CTX_INIT="a photo of a" trains 2
+    vectors while "of a" stay frozen in the prompt — reference
+    ``maple.py:93-101`` keeps them in token_suffix). Only meaningful with
+    ctx_init and position "end".
 
     Returns dict with:
       embedding: [n_cls, 77, D] fp32 frozen token embeddings of the
@@ -50,13 +57,19 @@ def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
     """
     if ctx_init:
         ctx_init = ctx_init.replace("_", " ")
-        n_ctx = len(ctx_init.split(" "))
+        n_words = len(ctx_init.split(" "))
+        n_ctx = n_words if ctx_slots is None else min(ctx_slots, n_words)
+        if ctx_slots is not None and n_ctx < n_words:
+            assert class_token_position == "end", \
+                "ctx_slots < init length only supported at position end"
         init_toks = tokenize(ctx_init)
         emb = np.asarray(clip_params["text"]["token_embedding"],
                          np.float32)
         ctx_vectors = emb[init_toks[0, 1:1 + n_ctx]]
         prompt_prefix = ctx_init
     else:
+        if ctx_slots is not None:
+            n_ctx = ctx_slots
         ctx_vectors = None
         prompt_prefix = " ".join(["X"] * n_ctx)
 

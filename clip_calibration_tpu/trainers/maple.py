@@ -53,11 +53,10 @@ class MaPLe(VLBaseLearner):
         vis_dim = self.clip_cfg.vision_width
 
         ctx_init = tcfg.CTX_INIT if (tcfg.CTX_INIT and n_ctx <= 4) else ""
+        # N_CTX learnable slots; remaining init-phrase tokens stay frozen
         asm = build_prompt_assembly(classnames, n_ctx, "end", ctx_init,
-                                    self.clip_params, self.compute_dtype)
-        if ctx_init:
-            # MaPLe keeps N_CTX even when initializing from words
-            asm["n_ctx"] = n_ctx
+                                    self.clip_params, self.compute_dtype,
+                                    ctx_slots=n_ctx)
         self.asm = asm
         print("MaPLe design: Multi-modal Prompt Learning")
         print(f'Initial context: "{asm["prompt_prefix"]}"')

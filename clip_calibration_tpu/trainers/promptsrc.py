@@ -62,9 +62,8 @@ class PromptSRC(VLBaseLearner):
         ctx_init = tcfg.CTX_INIT if (tcfg.CTX_INIT and n_ctx_t <= 4) \
             else ""
         asm = build_prompt_assembly(classnames, n_ctx_t, "end", ctx_init,
-                                    self.clip_params, self.compute_dtype)
-        if ctx_init:
-            asm["n_ctx"] = n_ctx_t
+                                    self.clip_params, self.compute_dtype,
+                                    ctx_slots=n_ctx_t)
         self.asm = asm
         print("Independent V-L design")
         print(f'Initial text context: "{asm["prompt_prefix"]}"')

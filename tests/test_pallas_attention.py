@@ -67,3 +67,27 @@ def test_mha_wrapper_impl_switch(rng):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_mha_gradients_match_xla(rng):
+    """The custom VJP must match XLA autodiff (training backprops
+    through both towers on TPU where pallas is the default)."""
+    B, H, L, D = 1, 2, 33, 16
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, L, D), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (B, H, L, D), jnp.float32) * 0.3
+    v = jax.random.normal(kv, (B, H, L, D), jnp.float32)
+    mask = causal_mask(L)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v, mask) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pallas_mha(q, k, v, mask, True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
