@@ -61,6 +61,9 @@ def _load_npz(fpath: str) -> Dict[str, Any]:
     import ml_dtypes
     with open(fpath, "rb") as f:
         data = np.load(io.BytesIO(f.read()), allow_pickle=False)
+        if "__epoch__" not in data.files:
+            # torch zip archives also open as (empty) npz — not ours
+            raise ValueError(f"{fpath} is not a native npz checkpoint")
         flat = {}
         epoch = 0
         for k in data.files:

@@ -47,7 +47,12 @@ def _load_feature_dict(path: str) -> dict:
     try:
         with open(path, "rb") as f:
             data = np.load(io.BytesIO(f.read()), allow_pickle=False)
-            return {k: data[k] for k in data.files}
+            out = {k: data[k] for k in data.files}
+            # torch zip archives also open as npz but yield raw bytes
+            if not out or not all(isinstance(v, np.ndarray)
+                                  for v in out.values()):
+                raise ValueError("not an npz feature cache")
+            return out
     except (ValueError, OSError):
         import torch  # cache written by the torch reference
         d = torch.load(path, map_location="cpu", weights_only=False)
