@@ -262,10 +262,8 @@ def get_cfg_default() -> CN:
     # plan and default to single-chip-friendly values.
     cfg.TPU = CN()
     cfg.TPU.MESH_SHAPE = ()          # () = all devices on one data axis
-    cfg.TPU.MESH_AXES = ("data", )
-    cfg.TPU.DTYPE = "bfloat16"       # compute dtype for the encoders
-    cfg.TPU.USE_PALLAS = "auto"      # auto | always | never
-    cfg.TPU.DONATE_BUFFERS = True
+    cfg.TPU.MESH_AXES = ("data", "model")  # consumed by mesh_from_cfg
+    cfg.TPU.USE_PALLAS = "auto"      # auto | always | never (attention)
     cfg.TPU.PROFILE_DIR = ""         # jax.profiler trace output dir
     cfg.TPU.PROFILE_STEPS = 20       # steps of epoch 0 to trace
 

@@ -24,7 +24,8 @@ from ..models.weights import flatten_params, unflatten_params
 def save_checkpoint(state: Dict[str, Any], save_dir: str,
                     epoch: int, is_best: bool = False,
                     model_name: str = "model") -> str:
-    """state: {"state_dict": params pytree, "epoch": int, ...}."""
+    """state: {"state_dict": params pytree, "epoch": int,
+    "opt_state": optional optax state pytree}."""
     os.makedirs(save_dir, exist_ok=True)
     flat = flatten_params(state["state_dict"])
     arrays = {}
@@ -35,6 +36,15 @@ def save_checkpoint(state: Dict[str, Any], save_dir: str,
         else:
             arrays[k] = v
     arrays["__epoch__"] = np.asarray(state.get("epoch", epoch))
+    if state.get("opt_state") is not None:
+        import jax
+        leaves = jax.tree.leaves(state["opt_state"])
+        for i, leaf in enumerate(leaves):
+            leaf = np.asarray(leaf)
+            if str(leaf.dtype) == "bfloat16":
+                arrays[f"__opt__::B::{i}"] = leaf.view(np.uint16)
+            else:
+                arrays[f"__opt__::{i}"] = leaf
 
     fpath = osp.join(save_dir, f"{model_name}.pth.tar-{epoch}")
     # np.savez appends .npz to string paths; write through a file object
@@ -66,14 +76,22 @@ def _load_npz(fpath: str) -> Dict[str, Any]:
             raise ValueError(f"{fpath} is not a native npz checkpoint")
         flat = {}
         epoch = 0
+        opt_leaves = {}
         for k in data.files:
             if k == "__epoch__":
                 epoch = int(data[k])
+            elif k.startswith("__opt__::B::"):
+                opt_leaves[int(k[12:])] = data[k].view(ml_dtypes.bfloat16)
+            elif k.startswith("__opt__::"):
+                opt_leaves[int(k[9:])] = data[k]
             elif k.startswith("B::"):
                 flat[k[3:]] = data[k].view(ml_dtypes.bfloat16)
             else:
                 flat[k] = data[k]
-    return {"state_dict": unflatten_params(flat), "epoch": epoch}
+    out = {"state_dict": unflatten_params(flat), "epoch": epoch}
+    if opt_leaves:
+        out["opt_leaves"] = [opt_leaves[i] for i in range(len(opt_leaves))]
+    return out
 
 
 def _load_torch(fpath: str) -> Dict[str, Any]:
@@ -92,7 +110,10 @@ def resolve_model_file(directory: str, epoch: Optional[int] = None,
     """Pick model-best or model.pth.tar-<epoch> (reference
     ``coop.py:312-343`` semantics)."""
     if epoch is not None:
-        return osp.join(directory, f"{model_name}.pth.tar-{epoch}")
+        path = osp.join(directory, f"{model_name}.pth.tar-{epoch}")
+        if not osp.exists(path):
+            raise FileNotFoundError(f'Checkpoint not found at "{path}"')
+        return path
     best = osp.join(directory, f"{model_name}-best.pth.tar")
     if osp.exists(best):
         return best

@@ -197,9 +197,21 @@ class TrainerX:
                    is_best: bool = False, model_name: str = "model"):
         for name, slot in self._models.items():
             save_checkpoint(
-                {"state_dict": slot["params"], "epoch": epoch + 1},
+                {"state_dict": slot["params"], "epoch": epoch + 1,
+                 "opt_state": slot.get("opt_state")},
                 osp.join(directory, name), epoch + 1, is_best=is_best,
                 model_name=model_name)
+
+    def checkpoint_dir_aliases(self, name: str):
+        """Subdirectory names to try when loading (reference trainers use
+        different registered names, e.g. MaPLe's MultiModalPromptLearner)."""
+        return [name]
+
+    def convert_reference_state(self, name: str, state: Dict[str, Any]):
+        """Hook: map a reference torch state dict (dots -> nesting, torch
+        [out,in] Linear weights) onto this trainer's param pytree. Default
+        is identity (native checkpoints)."""
+        return state
 
     def load_model(self, directory: str, epoch: Optional[int] = None):
         if not directory:
@@ -207,9 +219,20 @@ class TrainerX:
                   "model is given")
             return
         for name in self.get_model_names():
-            path = resolve_model_file(osp.join(directory, name), epoch)
+            path = None
+            for alias in self.checkpoint_dir_aliases(name):
+                try:
+                    path = resolve_model_file(osp.join(directory, alias),
+                                              epoch)
+                    break
+                except FileNotFoundError:
+                    continue
+            if path is None:
+                raise FileNotFoundError(
+                    f"No checkpoint for {name!r} under {directory!r} "
+                    f"(tried {self.checkpoint_dir_aliases(name)})")
             ckpt = load_checkpoint(path)
-            state = ckpt["state_dict"]
+            state = self.convert_reference_state(name, ckpt["state_dict"])
             # Ignore fixed token vectors: class sets change between
             # train (base) and test (new) (reference coop.py:334-343)
             state.pop("token_prefix", None)
@@ -247,6 +270,7 @@ class TrainerX:
 
     def resume_model_if_exist(self, directory: str):
         try:
+            import jax
             resumed_epoch = 0
             for name in self.get_model_names():
                 path = resolve_model_file(osp.join(directory, name))
@@ -256,6 +280,21 @@ class TrainerX:
                 state.pop("token_suffix", None)
                 self._set_params(name, state)
                 resumed_epoch = max(resumed_epoch, ckpt["epoch"])
+                # restore optimizer state (momentum + schedule position)
+                slot = self._models[name]
+                leaves = ckpt.get("opt_leaves")
+                if leaves is not None and slot.get("opt_state") is not None:
+                    cur_leaves, treedef = jax.tree.flatten(
+                        slot["opt_state"])
+                    if len(cur_leaves) == len(leaves):
+                        restored = [
+                            np.asarray(new).astype(np.asarray(old).dtype)
+                            for old, new in zip(cur_leaves, leaves)]
+                        slot["opt_state"] = jax.tree.unflatten(
+                            treedef, restored)
+                    else:
+                        print(f"optimizer state mismatch for {name}; "
+                              "keeping fresh state")
             self.start_epoch = resumed_epoch
             print(f"Resumed from {directory} (epoch {resumed_epoch})")
         except FileNotFoundError:

@@ -35,18 +35,18 @@ class VLClassification:
     def reset(self):
         self._y_score = []
         self._y_true = []
-        self._image_features = []
-        self._text_features = []
 
     def process(self, mo, gt, image_features=None, text_features=None):
-        """mo: [batch, n_cls] logits; gt: [batch] int labels."""
+        """mo: [batch, n_cls] logits; gt: [batch] int labels.
+
+        Accumulates logits/labels for callers that evaluate through the
+        evaluator alone; the VLBaseLearner pipeline already holds these
+        arrays and passes them to evaluate() directly, so features are
+        deliberately NOT copied here (the reference duplicates everything
+        to host lists, ``vl_evaluator.py:40-51``).
+        """
         self._y_score.append(np.asarray(mo, np.float32))
         self._y_true.append(np.asarray(gt))
-        if image_features is not None:
-            self._image_features.append(np.asarray(image_features,
-                                                   np.float32))
-        if text_features is not None:
-            self._text_features = [np.asarray(text_features, np.float32)]
 
     @property
     def logits(self) -> np.ndarray:
@@ -55,14 +55,6 @@ class VLClassification:
     @property
     def labels(self) -> np.ndarray:
         return np.concatenate(self._y_true, axis=0)
-
-    @property
-    def image_features(self) -> np.ndarray:
-        return np.concatenate(self._image_features, axis=0)
-
-    @property
-    def text_features(self) -> np.ndarray:
-        return self._text_features[0]
 
     def evaluate(self, probs, labels, text_proximity):
         from sklearn.metrics import f1_score

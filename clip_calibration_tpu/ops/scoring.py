@@ -35,7 +35,10 @@ def dac_class_confidence(base_zs: jnp.ndarray, cur_zs: jnp.ndarray,
               + jnp.sum(base ** 2, -1)[None, :]
               - 2.0 * cur @ base.T)
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
-        neg_top, _ = jax.lax.top_k(-d, k)
+        # fewer base classes than k: take them all, still divide by k
+        # (reference semantics)
+        k_eff = min(k, d.shape[1])
+        neg_top, _ = jax.lax.top_k(-d, k_eff)
         top = -neg_top
         return jnp.exp(-jnp.sum(top, axis=1) / k), top.min(axis=1)
 

@@ -40,6 +40,12 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
     return Mesh(arr, tuple(axis_names[:arr.ndim]))
 
 
+def mesh_from_cfg(cfg) -> Mesh:
+    """Mesh from TPU.MESH_SHAPE / TPU.MESH_AXES config keys."""
+    return make_mesh(tuple(cfg.TPU.MESH_SHAPE),
+                     tuple(cfg.TPU.MESH_AXES))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-sharded [B, ...] arrays."""
     return NamedSharding(mesh, P("data"))

@@ -3,15 +3,15 @@
 
 from . import base_learner  # noqa: F401
 from . import zsclip  # noqa: F401
-
-# Registered incrementally as they land; keep imports guarded so a broken
-# module never blocks the registry for the rest.
-for _mod in ("coop", "cocoop", "kgcoop", "maple", "proda", "prograd",
-             "promptsrc", "vpt", "taskres", "clip_adapter"):
-    try:
-        __import__(f"{__name__}.{_mod}")
-    except ImportError:
-        pass
-
+from . import coop  # noqa: F401
+from . import cocoop  # noqa: F401
+from . import kgcoop  # noqa: F401
+from . import maple  # noqa: F401
+from . import proda  # noqa: F401
+from . import prograd  # noqa: F401
+from . import promptsrc  # noqa: F401
+from . import vpt  # noqa: F401
+from . import taskres  # noqa: F401
+from . import clip_adapter  # noqa: F401
 from .calibration import tempscaling  # noqa: F401
 from .calibration import parameterized_tempscaling  # noqa: F401

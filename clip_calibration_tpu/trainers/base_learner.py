@@ -141,10 +141,6 @@ class VLBaseLearner(TrainerX):
 
         logits, labels, image_features_test, text_features_test = \
             self._run_inference(data_loader)
-        for i in range(0, len(logits), 4096):  # feed evaluator in chunks
-            self.evaluator.process(logits[i:i + 4096], labels[i:i + 4096],
-                                   image_features_test[i:i + 4096],
-                                   text_features_test)
 
         # cache base-class val features (trains the calibrator downstream)
         if cfg.DATASET.SUBSAMPLE_CLASSES == "base":
@@ -161,7 +157,8 @@ class VLBaseLearner(TrainerX):
             cfg.CALIBRATION.DAC.IF_DAC,
             cfg.CALIBRATION.PROCAL.IF_PROCAL,
             val_dict,
-            self.get_text_features(text_features_test))
+            self.get_text_features(text_features_test,
+                                   val_dict=val_dict))
         calibrator.fit()
 
         # test-set proximity (cached only for the test split: the cache
@@ -218,10 +215,13 @@ class VLBaseLearner(TrainerX):
         })
 
     # -- 4-way text features (reference base_learner.py:242-293) -----------
-    def get_text_features(self, current_text_features_tuned=None):
+    def get_text_features(self, current_text_features_tuned=None,
+                          val_dict=None):
         cfg = self.cfg
-        val_dict = _load_feature_dict(
-            osp.join(self._base_feature_dir("base"), "base_features.pt"))
+        if val_dict is None:
+            val_dict = _load_feature_dict(
+                osp.join(self._base_feature_dir("base"),
+                         "base_features.pt"))
 
         # 1. base text features from the cached ZeroshotCLIP base run
         # (hardcoded seed 1, reference base_learner.py:253-255)

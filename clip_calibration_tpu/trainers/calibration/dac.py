@@ -26,8 +26,10 @@ def _topk_scores(base: np.ndarray, current: np.ndarray, k: int):
     current = np.asarray(current, np.float64)
     # class counts are small; exact fp64 pairwise norms for parity
     d = np.linalg.norm(current[:, None, :] - base[None, :, :], axis=-1)
-    k = min(k, d.shape[1])
-    part = np.partition(d, k - 1, axis=1)[:, :k]
+    # reference always divides by k even when fewer than k base classes
+    # exist (np.sort(...)[:k] just yields them all)
+    k_eff = min(k, d.shape[1])
+    part = np.partition(d, k_eff - 1, axis=1)[:, :k_eff]
     scores = np.exp(-np.sum(part, axis=1) / k)
     return scores, part.min(axis=1)
 

@@ -56,7 +56,9 @@ class ParameterizedTempScaling(TempScaling):
             return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
                                       -lim, lim)
 
-        n_mid = max(n_layers - 2, 0)
+        # N_LAYERS hidden layers total: w_in provides the first, the
+        # stacked mid layers the rest (PTS: nlayers hidden of N_NODES)
+        n_mid = max(n_layers - 1, 0)
         mid_ws = (jnp.stack([lin(ks[1 + i], nodes, nodes)
                              for i in range(n_mid)])
                   if n_mid else jnp.zeros((0, nodes, nodes), jnp.float32))

@@ -120,3 +120,12 @@ class CLIP_Adapter(VLBaseLearner):
         return self._infer_step(self._models["adapter"]["params"],
                                 self.clip_params, self.text_features,
                                 jnp.asarray(images))
+
+    def convert_reference_state(self, name, state):
+        """Reference Adapter checkpoints hold fc.0.weight / fc.2.weight
+        (torch [out,in] bias-free Linears)."""
+        fc = state.get("fc")
+        if isinstance(fc, dict):
+            return {"w1": np.asarray(fc["0"]["weight"]).T,
+                    "w2": np.asarray(fc["2"]["weight"]).T}
+        return state

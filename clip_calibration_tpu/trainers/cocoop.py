@@ -156,3 +156,17 @@ class CoCoOp(VLBaseLearner):
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.clip_params, jnp.asarray(images))
+
+    def convert_reference_state(self, name, state):
+        """Reference prompt_learner checkpoints hold
+        meta_net.linear{1,2}.{weight,bias} (torch [out,in] weights)."""
+        meta = state.pop("meta_net", None)
+        if meta is not None:
+            state = dict(state)
+            state["meta"] = {
+                "w1": np.asarray(meta["linear1"]["weight"]).T,
+                "b1": np.asarray(meta["linear1"]["bias"]),
+                "w2": np.asarray(meta["linear2"]["weight"]).T,
+                "b2": np.asarray(meta["linear2"]["bias"]),
+            }
+        return state

@@ -157,3 +157,33 @@ class MaPLe(VLBaseLearner):
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.clip_params, jnp.asarray(images))
+
+    def checkpoint_dir_aliases(self, name):
+        # the reference registers the whole model as MultiModalPromptLearner
+        return [name, "MultiModalPromptLearner"]
+
+    def convert_reference_state(self, name, state):
+        """Reference MaPLe checkpoints are whole-model state dicts with
+        prompt_learner.{ctx, proj.*, compound_prompts_text.N,
+        compound_prompt_projections.N.*} (torch [out,in] weights)."""
+        pl = state.get("prompt_learner")
+        if not isinstance(pl, dict) or "proj" not in pl:
+            return state
+        import numpy as np
+        out = {"ctx": np.asarray(pl["ctx"]),
+               "proj_w": np.asarray(pl["proj"]["weight"]).T,
+               "proj_b": np.asarray(pl["proj"]["bias"])}
+        cpt = pl.get("compound_prompts_text")
+        if cpt:
+            n = len(cpt)
+            out["compound_text"] = np.stack(
+                [np.asarray(cpt[str(i)]) for i in range(n)])
+            proj = pl["compound_prompt_projections"]
+            out["compound_proj_w"] = np.stack(
+                [np.asarray(proj[str(i)]["weight"]).T for i in range(n)])
+            out["compound_proj_b"] = np.stack(
+                [np.asarray(proj[str(i)]["bias"]) for i in range(n)])
+        if "token_prefix" in pl:
+            out["token_prefix"] = pl["token_prefix"]
+            out["token_suffix"] = pl["token_suffix"]
+        return out

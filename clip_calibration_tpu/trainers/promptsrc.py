@@ -213,3 +213,30 @@ class PromptSRC(VLBaseLearner):
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.clip_params, jnp.asarray(images))
+
+    def convert_reference_state(self, name, state):
+        """Reference PromptSRC checkpoints are whole-model state dicts:
+        prompt_learner.ctx, image_encoder.VPT, and per-layer
+        {image,text}_encoder.transformer.resblocks.N.VPT_shallow."""
+        if "image_encoder" not in state:
+            return state
+        out = {"ctx": np.asarray(state["prompt_learner"]["ctx"]),
+               "vpt_shallow": np.asarray(state["image_encoder"]["VPT"])}
+
+        def deep_stack(tower, depth):
+            blocks = tower["transformer"]["resblocks"]
+            rows = [np.asarray(blocks[str(i)]["VPT_shallow"])
+                    for i in range(1, depth)]
+            return np.stack(rows) if rows else None
+
+        dv = deep_stack(state["image_encoder"], self.depth_vis)
+        if dv is not None:
+            out["deep_vis"] = dv
+        dt = deep_stack(state["text_encoder"], self.depth_text)
+        if dt is not None:
+            out["deep_text"] = dt
+        pl = state["prompt_learner"]
+        if "token_prefix" in pl:
+            out["token_prefix"] = pl["token_prefix"]
+            out["token_suffix"] = pl["token_suffix"]
+        return out

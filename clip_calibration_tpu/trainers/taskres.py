@@ -125,6 +125,17 @@ class TaskRes(VLBaseLearner):
             jnp.asarray(images), jnp.asarray(labels))
         return {"loss": float(loss)}
 
+    def checkpoint_dir_aliases(self, name):
+        # the reference registers TaskResLearner under "prompt_learner"
+        return [name, "prompt_learner"]
+
+    def convert_reference_state(self, name, state):
+        """Reference TaskRes checkpoints hold base_text_features +
+        text_feature_residuals; only the residual is ours to load."""
+        if "text_feature_residuals" in state:
+            return {"residual": np.asarray(state["text_feature_residuals"])}
+        return state
+
     def _set_params(self, name, loaded):
         """On ImageNet-A/R cross-dataset eval, subset 1000-class residuals
         from an ImageNet-trained checkpoint down to the 200 present

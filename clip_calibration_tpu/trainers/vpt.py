@@ -125,3 +125,22 @@ class VPT(VLBaseLearner):
         return self._infer_step(self._models["vpt_prompts"]["params"],
                                 self.clip_params, self.text_features,
                                 jnp.asarray(images))
+
+    def checkpoint_dir_aliases(self, name):
+        # the reference registers the whole model under "prompt_learner"
+        return [name, "prompt_learner"]
+
+    def convert_reference_state(self, name, state):
+        """Reference VPT checkpoints are whole-model state dicts with
+        image_encoder.VPT and per-layer resblocks.N.VPT_shallow."""
+        enc = state.get("image_encoder")
+        if not isinstance(enc, dict):
+            return state
+        import numpy as np
+        out = {"shallow": np.asarray(enc["VPT"])}
+        if self.depth > 1:
+            blocks = enc["transformer"]["resblocks"]
+            out["deep"] = np.stack(
+                [np.asarray(blocks[str(i)]["VPT_shallow"])
+                 for i in range(1, self.depth)])
+        return out

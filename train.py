@@ -111,6 +111,11 @@ def main(args):
         print(f"Setting fixed seed: {cfg.SEED}")
         set_random_seed(cfg.SEED)
 
+    # attention backend selection (TPU.USE_PALLAS: auto | always | never)
+    from clip_calibration_tpu.ops.attention import set_attention_impl
+    set_attention_impl({"auto": "auto", "always": "pallas",
+                        "never": "xla"}[cfg.TPU.USE_PALLAS])
+
     # calibrator-combo log file naming (reference train.py:306-325)
     base_name = "log"
     if cfg.CALIBRATION.SCALING.IF_SCALING:
