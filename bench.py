@@ -85,6 +85,11 @@ def main():
 
     batch, ips = best
     mfu = ips * vit_encode_flops(cfg) / PEAK_BF16_FLOPS
+
+    # secondary: full CoOp-style train step (fwd+bwd through both towers
+    # + optax update) at the reference's CoOp batch size
+    train_ips = _train_step_throughput()
+
     print(json.dumps({
         "metric": "vit_b16_image_encode_throughput",
         "value": round(ips, 1),
@@ -92,9 +97,43 @@ def main():
         "vs_baseline": round(mfu, 4),
         "batch": batch,
         "device": str(dev),
+        "coop_train_step_images_per_s": round(train_ips, 1),
         "notes": "vs_baseline = fraction of 197 TFLOP/s bf16 roofline "
                  "(reference publishes no throughput numbers)",
     }))
+
+
+def _train_step_throughput(batch: int = 32, n_cls: int = 100,
+                           n_iters: int = 10) -> float:
+    """CoOp train-step throughput: grad w.r.t. prompt ctx through both
+    towers + sgd update, one jit program, reference batch size."""
+    import optax
+    import __graft_entry__ as g
+
+    ccfg, params, ctx, embedding, eot_pos, images, labels = g._setup(
+        "ViT-B/16", n_cls=n_cls, batch=batch, n_ctx=16)
+    opt = optax.sgd(2e-3, momentum=0.9)
+    opt_state = opt.init(ctx)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=())
+    def step(ctx, opt_state, frozen, embedding, eot_pos, images, labels,
+             i):
+        loss, grads = jax.value_and_grad(g._loss_fn)(
+            ctx, frozen, embedding, eot_pos, images ^ i, labels, ccfg, 16)
+        updates, opt_state = opt.update(grads, opt_state, ctx)
+        return optax.apply_updates(ctx, updates), opt_state, loss
+
+    ctx, opt_state, loss = step(ctx, opt_state, params, embedding,
+                                eot_pos, images, labels, jnp.uint8(0))
+    float(loss)  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        ctx, opt_state, loss = step(ctx, opt_state, params, embedding,
+                                    eot_pos, images, labels,
+                                    jnp.uint8(i % 250))
+    float(loss)
+    return batch * n_iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
