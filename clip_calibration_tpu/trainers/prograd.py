@@ -77,17 +77,17 @@ class ProGrad(CoOp):
     def _build_steps(self):
         super()._build_steps()  # text/infer steps from CoOp
 
-        def ce_fn(trainable, frozen, images, labels):
-            return self._losses(trainable, frozen, images, labels)[0]
-
-        def kl_fn(trainable, frozen, images, labels):
-            return self._losses(trainable, frozen, images, labels)[1]
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(trainable, opt_state, frozen, images, labels):
-            xe, g_ce = jax.value_and_grad(ce_fn)(trainable, frozen,
-                                                 images, labels)
-            g_kl = jax.grad(kl_fn)(trainable, frozen, images, labels)
+            # one forward, two backward pulls (reference runs backward
+            # twice with retain_graph; jax.vjp is the functional twin)
+            (xe, kl), vjp_fn = jax.vjp(
+                lambda tr: self._losses(tr, frozen, images, labels),
+                trainable)
+            one = jnp.ones(())
+            zero = jnp.zeros(())
+            g_ce, = vjp_fn((one, zero))
+            g_kl, = vjp_fn((zero, one))
             grads = prograd_project(g_ce, g_kl, self.lambda_)
             updates, opt_state = self.opt.update(grads, opt_state,
                                                  trainable)

@@ -116,6 +116,16 @@ def main(args):
     set_attention_impl({"auto": "auto", "always": "pallas",
                         "never": "xla"}[cfg.TPU.USE_PALLAS])
 
+    # persistent XLA compilation cache (first TPU compile is 20-40s)
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/clip_calibration_tpu/xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # older jax without the knobs
+        print(f"compilation cache unavailable: {e}")
+
     # calibrator-combo log file naming (reference train.py:306-325)
     base_name = "log"
     if cfg.CALIBRATION.SCALING.IF_SCALING:
