@@ -1,0 +1,104 @@
+"""Pure-math checks for trainer-specific loss mechanics against literal
+numpy transcriptions of the reference torch equations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_proda_covariance_correction(rng):
+    """ProDA's covariance-corrected logits (reference proda.py:283-292):
+    cov[d,i,k] = sum_p c[i,p,d] c[k,p,d] / (P+1);
+    refined = einsum(img^2, cov); sigma via label/diag cross terms."""
+    n_cls, P, E, B = 5, 6, 8, 4
+    tf = rng.normal(size=(n_cls, P, E)).astype(np.float32)
+    img = rng.normal(size=(B, E)).astype(np.float32)
+    labels = rng.integers(0, n_cls, B)
+    scale = 2.5
+
+    # literal numpy transcription of the torch code
+    text_mean = tf.mean(axis=1)
+    logits_np = scale * img @ text_mean.T
+    centered = tf - text_mean[:, None]
+    cov = np.einsum("ipd,kpd->dik", centered, centered) / (P + 1)
+    refined = np.einsum("bd,dik->bik", img ** 2, cov)
+    b = np.arange(B)
+    diag = refined[:, np.arange(n_cls), np.arange(n_cls)]
+    sigma = (refined[b, labels, labels][:, None] + diag
+             - 2 * refined[b, labels, :])
+    want = logits_np + 0.5 * scale ** 2 * sigma
+
+    # the jax expression used inside ProDA's loss
+    tf_j = jnp.asarray(tf)
+    text_mean_j = tf_j.mean(axis=1)
+    logits_j = scale * jnp.asarray(img) @ text_mean_j.T
+    centered_j = tf_j - text_mean_j[:, None]
+    cov_j = jnp.einsum("ipd,kpd->dik", centered_j, centered_j) / (P + 1)
+    refined_j = jnp.einsum("bd,dik->bik", jnp.asarray(img) ** 2, cov_j)
+    bj = jnp.arange(B)
+    lj = jnp.asarray(labels)
+    diag_j = refined_j[:, jnp.arange(n_cls), jnp.arange(n_cls)]
+    sigma_j = (refined_j[bj, lj, lj][:, None] + diag_j
+               - 2 * refined_j[bj, lj, :])
+    got = logits_j + 0.5 * scale ** 2 * sigma_j
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_prograd_projection_matches_reference_rule(rng):
+    """Per-tensor rule (reference prograd.py:396-405): project only when
+    normalized gradients conflict; projection uses the unnormalized CE
+    grad dotted with the normalized KL direction."""
+    from clip_calibration_tpu.trainers.prograd import prograd_project
+
+    g_ce = {"a": rng.normal(size=(4, 3)).astype(np.float32),
+            "b": rng.normal(size=(5,)).astype(np.float32)}
+    # force conflict on "a" (opposite direction), agreement on "b"
+    g_kl = {"a": (-g_ce["a"] + rng.normal(size=(4, 3)) * 0.1
+                  ).astype(np.float32),
+            "b": (g_ce["b"] + rng.normal(size=(5,)) * 0.1
+                  ).astype(np.float32)}
+    lam = 0.7
+
+    out = prograd_project(jax.tree.map(jnp.asarray, g_ce),
+                          jax.tree.map(jnp.asarray, g_kl), lam)
+
+    for key in ("a", "b"):
+        a, bgrad = g_ce[key], g_kl[key]
+        b_hat = bgrad / np.linalg.norm(bgrad)
+        a_hat = a / np.linalg.norm(a)
+        if np.vdot(a_hat, b_hat) < 0:
+            want = a - lam * np.vdot(a, b_hat) * b_hat
+        else:
+            want = a
+        np.testing.assert_allclose(np.asarray(out[key]), want, rtol=1e-5,
+                                   atol=1e-6)
+    # sanity: "a" projected (changed), "b" untouched
+    assert not np.allclose(np.asarray(out["a"]), g_ce["a"])
+    np.testing.assert_allclose(np.asarray(out["b"]), g_ce["b"])
+
+
+def test_promptsrc_gpa_weights_sum_to_one():
+    from clip_calibration_tpu.config import get_cfg_default
+    import math
+    N, mean, std = 50, 30, 30
+    gauss = np.array([math.exp(-((e - mean) ** 2) / (2 * std ** 2))
+                      / (std * math.sqrt(2 * math.pi))
+                      for e in range(1, N + 1)])
+    gauss = gauss / gauss.sum()
+    assert gauss.sum() == pytest.approx(1.0)
+    assert gauss[mean - 1] == gauss.max()
+
+
+def test_kgcoop_regularizer_zero_when_aligned(rng):
+    """w * (1 - mean cos) term vanishes when tuned == zero-shot."""
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models.clip import normalize
+    zs = rng.normal(size=(5, 8)).astype(np.float32)
+    zs /= np.linalg.norm(zs, axis=1, keepdims=True)
+    txt_n = normalize(jnp.asarray(zs)).astype(jnp.float32)
+    score = 1.0 - jnp.mean(jnp.sum(txt_n * jnp.asarray(zs), axis=-1))
+    assert float(score) == pytest.approx(0.0, abs=1e-6)
