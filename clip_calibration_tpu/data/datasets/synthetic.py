@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from ...engine.registry import DATASET_REGISTRY
-from ..base import Datum, mkdir_if_missing, subsample_classes
+from ..base import Datum, mkdir_if_missing
 from .common import StandardDataset
 
 N_CLASSES = 10

@@ -19,7 +19,7 @@ import os.path as osp
 import jax
 
 from .clip import PRESETS, CLIPConfig, init_clip
-from .weights import load_params, load_torch_clip, convert_torch_clip
+from .weights import load_params, load_torch_clip
 
 
 def _safe_name(backbone_name: str) -> str:

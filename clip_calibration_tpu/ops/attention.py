@@ -14,7 +14,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

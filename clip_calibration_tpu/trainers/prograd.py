@@ -23,7 +23,6 @@ import optax
 
 from ..engine.registry import TRAINER_REGISTRY
 from ..models import clip as M
-from ..ops.preprocess import normalize_images
 from .base_learner import encode_classnames_zs
 from .coop import CoOp
 from .templates import CUSTOM_TEMPLATES

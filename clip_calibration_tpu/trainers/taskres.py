@@ -51,7 +51,6 @@ class TaskRes(VLBaseLearner):
         params = self.clip_params
         if cfg.TRAINER.TaskRes.ENHANCED_BASE != "none":
             print(">> Use enhanced base!")
-            import copy
             from ..models.weights import load_params
             loaded = load_params(cfg.TRAINER.TaskRes.ENHANCED_BASE)
             params = dict(params)
