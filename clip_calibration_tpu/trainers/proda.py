@@ -190,9 +190,19 @@ class ProDA(VLBaseLearner):
 
         @jax.jit
         def classifier_step(trainable, frozen):
-            tf = self._text_features_all(trainable["ctx"], self.pos,
-                                         frozen)
-            return tf.mean(axis=1)  # [n_cls, E]
+            # mean text features over ALL prompts; lax.map over the prompt
+            # axis bounds peak activations to one [n_cls, 77, D] encode at
+            # a time (the reference chunks by 1000 rows on OOM,
+            # proda.py:318-326)
+            def one_prompt(args):
+                ctx_p, pos_p = args
+                tf = self._text_features_all(ctx_p[None], pos_p[None],
+                                             frozen)
+                return tf[:, 0, :]  # [n_cls, E]
+
+            per_prompt = jax.lax.map(one_prompt,
+                                     (trainable["ctx"], self.pos))
+            return per_prompt.mean(axis=0)  # [n_cls, E]
 
         @jax.jit
         def infer_step(frozen, txt_f, images):
