@@ -37,6 +37,15 @@ from .coop import build_prompt_assembly, assemble_prompts
 from .templates import IMAGENET_TEMPLATES
 
 
+def gpa_schedule(n_epochs: int, mean: float, std: float) -> np.ndarray:
+    """Normalized per-epoch Gaussian aggregation weights over epochs 1..N
+    (reference ``promptsrc.py:268-274``)."""
+    gauss = np.array([math.exp(-((e - mean) ** 2) / (2 * std ** 2))
+                      / (std * math.sqrt(2 * math.pi))
+                      for e in range(1, n_epochs + 1)])
+    return gauss / gauss.sum()
+
+
 @TRAINER_REGISTRY.register()
 class PromptSRC(VLBaseLearner):
 
@@ -111,12 +120,8 @@ class PromptSRC(VLBaseLearner):
                             opt.init(trainable))
 
         # GPA schedule over epochs 1..N
-        N = cfg.OPTIM.MAX_EPOCH
-        mean, std = tcfg.GPA_MEAN, tcfg.GPA_STD
-        gauss = np.array([math.exp(-((e - mean) ** 2) / (2 * std ** 2))
-                          / (std * math.sqrt(2 * math.pi))
-                          for e in range(1, N + 1)])
-        self.gauss = gauss / gauss.sum()
+        self.gauss = gpa_schedule(cfg.OPTIM.MAX_EPOCH, tcfg.GPA_MEAN,
+                                  tcfg.GPA_STD)
         self._gpa_accum = None
 
         self._build_steps()
@@ -224,9 +229,12 @@ class PromptSRC(VLBaseLearner):
                "vpt_shallow": np.asarray(state["image_encoder"]["VPT"])}
 
         def deep_stack(tower, depth):
+            # tolerate depth mismatches like the reference's strict=False
+            # load: take only the layers present in the checkpoint
             blocks = tower["transformer"]["resblocks"]
             rows = [np.asarray(blocks[str(i)]["VPT_shallow"])
-                    for i in range(1, depth)]
+                    for i in range(1, depth)
+                    if str(i) in blocks and "VPT_shallow" in blocks[str(i)]]
             return np.stack(rows) if rows else None
 
         dv = deep_stack(state["image_encoder"], self.depth_vis)

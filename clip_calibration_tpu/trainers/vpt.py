@@ -139,8 +139,11 @@ class VPT(VLBaseLearner):
         import numpy as np
         out = {"shallow": np.asarray(enc["VPT"])}
         if self.depth > 1:
+            # tolerate checkpoints trained at a smaller depth
             blocks = enc["transformer"]["resblocks"]
-            out["deep"] = np.stack(
-                [np.asarray(blocks[str(i)]["VPT_shallow"])
-                 for i in range(1, self.depth)])
+            rows = [np.asarray(blocks[str(i)]["VPT_shallow"])
+                    for i in range(1, self.depth)
+                    if str(i) in blocks and "VPT_shallow" in blocks[str(i)]]
+            if rows:
+                out["deep"] = np.stack(rows)
         return out

@@ -67,3 +67,30 @@ def test_ece_conf_one_quirk():
     gt = np.array([0, 0])
     # all mass in last bin, bin_acc/bin_conf are zero there -> |0-0|*1 = 0
     assert ECE(conf, pred, gt, 10) == 0.0
+
+
+def test_evaluator_process_accumulation():
+    """Library users can feed the evaluator batch-wise and evaluate from
+    its accumulated logits/labels."""
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.evaluators.vl_evaluator import (
+        VLClassification)
+    rng = np.random.default_rng(3)
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = "/tmp"
+    ev = VLClassification(cfg)
+    all_logits, all_labels = [], []
+    for _ in range(3):
+        logits = rng.normal(size=(8, 4)).astype(np.float32)
+        labels = rng.integers(0, 4, 8)
+        ev.process(logits, labels)
+        all_logits.append(logits)
+        all_labels.append(labels)
+    np.testing.assert_allclose(ev.logits, np.concatenate(all_logits))
+    np.testing.assert_array_equal(ev.labels, np.concatenate(all_labels))
+    probs = np.exp(ev.logits)
+    probs /= probs.sum(1, keepdims=True)
+    res = ev.evaluate(probs, ev.labels, rng.random(24))
+    assert 0 <= res["accuracy"] <= 100
+    ev.reset()
+    assert ev._y_score == []

@@ -60,3 +60,13 @@ def test_sharded_vs_single_device_same_loss():
                          jax.device_put(labels, data_sh))
     np.testing.assert_allclose(float(loss_single), float(loss_sharded),
                                rtol=2e-5)
+
+
+def test_mesh_from_cfg():
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.parallel.mesh import mesh_from_cfg
+    cfg = get_cfg_default()
+    cfg.TPU.MESH_SHAPE = (4, 2)
+    mesh = mesh_from_cfg(cfg)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "model": 2}

@@ -82,15 +82,17 @@ def test_prograd_projection_matches_reference_rule(rng):
 
 
 def test_promptsrc_gpa_weights_sum_to_one():
-    from clip_calibration_tpu.config import get_cfg_default
-    import math
-    N, mean, std = 50, 30, 30
-    gauss = np.array([math.exp(-((e - mean) ** 2) / (2 * std ** 2))
-                      / (std * math.sqrt(2 * math.pi))
-                      for e in range(1, N + 1)])
-    gauss = gauss / gauss.sum()
+    from clip_calibration_tpu.trainers.promptsrc import gpa_schedule
+    gauss = gpa_schedule(50, 30, 30)
+    assert gauss.shape == (50,)
     assert gauss.sum() == pytest.approx(1.0)
-    assert gauss[mean - 1] == gauss.max()
+    assert gauss[29] == gauss.max()  # peak at epoch == mean
+    # a GPA accumulation with these weights reproduces a weighted average
+    vals = np.arange(50, dtype=np.float64)
+    accum = 0.0
+    for epoch in range(50):
+        accum = accum + gauss[epoch] * vals[epoch]
+    assert accum == pytest.approx(np.dot(gauss, vals))
 
 
 def test_kgcoop_regularizer_zero_when_aligned(rng):
