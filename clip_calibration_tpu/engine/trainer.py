@@ -315,6 +315,36 @@ class TrainerX:
             self._scalar_log.close()
             self._scalar_log = None
 
+    # -- SPMD -----------------------------------------------------------------
+    @property
+    def mesh(self):
+        """Device mesh for data-parallel batches; built lazily from
+        TPU.MESH_SHAPE/MESH_AXES when >1 device is visible, else None."""
+        if not hasattr(self, "_mesh"):
+            import jax
+            self._mesh = None
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import mesh_from_cfg
+                self._mesh = mesh_from_cfg(self.cfg)
+        return self._mesh
+
+    def put_batch(self, array):
+        """Device-put a [B, ...] host array, sharded over the data axis
+        when a mesh is active (jit then propagates the sharding — XLA
+        runs the step SPMD with no further annotations)."""
+        import jax
+        import jax.numpy as jnp
+        mesh = self.mesh
+        if mesh is None:
+            return jnp.asarray(array)
+        import numpy as np
+        arr = np.asarray(array)
+        n_data = mesh.shape["data"]
+        if arr.shape[0] % n_data != 0:
+            return jnp.asarray(array)  # indivisible batch: single-device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(mesh, P("data")))
+
     def parse_batch_test(self, batch):
         return batch["img"], batch["label"]
 

@@ -113,13 +113,13 @@ class CLIP_Adapter(VLBaseLearner):
         slot = self._models["adapter"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            self.text_features, jnp.asarray(images), jnp.asarray(labels))
+            self.text_features, self.put_batch(images), self.put_batch(labels))
         return {"loss": float(loss)}
 
     def model_inference(self, images):
         return self._infer_step(self._models["adapter"]["params"],
                                 self.clip_params, self.text_features,
-                                jnp.asarray(images))
+                                self.put_batch(images))
 
     def convert_reference_state(self, name, state):
         """Reference Adapter checkpoints hold fc.0.weight / fc.2.weight

@@ -150,12 +150,12 @@ class CoCoOp(VLBaseLearner):
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            jnp.asarray(images), jnp.asarray(labels))
+            self.put_batch(images), self.put_batch(labels))
         return {"loss": float(loss)}
 
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
-                                self.clip_params, jnp.asarray(images))
+                                self.clip_params, self.put_batch(images))
 
     def convert_reference_state(self, name, state):
         """Reference prompt_learner checkpoints hold

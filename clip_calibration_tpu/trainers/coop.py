@@ -269,7 +269,7 @@ class CoOp(VLBaseLearner):
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            jnp.asarray(images), jnp.asarray(labels))
+            self.put_batch(images), self.put_batch(labels))
         self._cached_text_features = None  # ctx changed
         return {"loss": float(loss)}
 
@@ -281,7 +281,7 @@ class CoOp(VLBaseLearner):
                 self.clip_params)
         txt_f = self._cached_text_features
         logits, img_f = self._infer_step(self.clip_params, txt_f,
-                                         jnp.asarray(images))
+                                         self.put_batch(images))
         return logits, img_f, txt_f
 
     def load_model(self, directory, epoch=None):

@@ -151,12 +151,12 @@ class MaPLe(VLBaseLearner):
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            jnp.asarray(images), jnp.asarray(labels))
+            self.put_batch(images), self.put_batch(labels))
         return {"loss": float(loss)}
 
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
-                                self.clip_params, jnp.asarray(images))
+                                self.clip_params, self.put_batch(images))
 
     def checkpoint_dir_aliases(self, name):
         # the reference registers the whole model as MultiModalPromptLearner

@@ -236,7 +236,7 @@ class ProDA(VLBaseLearner):
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            jnp.asarray(images), jnp.asarray(labels), batch_idx)
+            self.put_batch(images), self.put_batch(labels), batch_idx)
         self.text_features = None  # classifier stale
         return {"loss": float(loss)}
 
@@ -250,7 +250,7 @@ class ProDA(VLBaseLearner):
             self.set_classifier()
         logits, img_n = self._infer_step(self.clip_params,
                                          self.text_features,
-                                         jnp.asarray(images))
+                                         self.put_batch(images))
         return logits, img_n, self.text_features
 
     def load_model(self, directory, epoch=None):

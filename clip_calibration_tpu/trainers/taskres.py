@@ -121,7 +121,7 @@ class TaskRes(VLBaseLearner):
         slot = self._models["taskres_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            jnp.asarray(images), jnp.asarray(labels))
+            self.put_batch(images), self.put_batch(labels))
         return {"loss": float(loss)}
 
     def checkpoint_dir_aliases(self, name):
@@ -159,4 +159,4 @@ class TaskRes(VLBaseLearner):
 
     def model_inference(self, images):
         return self._infer_step(self._models["taskres_learner"]["params"],
-                                self.clip_params, jnp.asarray(images))
+                                self.clip_params, self.put_batch(images))

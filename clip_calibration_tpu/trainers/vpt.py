@@ -118,13 +118,13 @@ class VPT(VLBaseLearner):
         slot = self._models["vpt_prompts"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
-            self.text_features, jnp.asarray(images), jnp.asarray(labels))
+            self.text_features, self.put_batch(images), self.put_batch(labels))
         return {"loss": float(loss)}
 
     def model_inference(self, images):
         return self._infer_step(self._models["vpt_prompts"]["params"],
                                 self.clip_params, self.text_features,
-                                jnp.asarray(images))
+                                self.put_batch(images))
 
     def checkpoint_dir_aliases(self, name):
         # the reference registers the whole model under "prompt_learner"

@@ -59,7 +59,7 @@ class ZeroshotCLIP(VLBaseLearner):
 
     def model_inference(self, images):
         return self._infer(self.clip_params, self.text_features,
-                           jnp.asarray(np.ascontiguousarray(images)))
+                           self.put_batch(np.ascontiguousarray(images)))
 
     def train(self):
         """Zero-shot: nothing to train; run the test pipeline."""

@@ -70,3 +70,51 @@ def test_mesh_from_cfg():
     mesh = mesh_from_cfg(cfg)
     assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
         "data": 4, "model": 2}
+
+
+def test_trainer_data_parallel_matches_single_device(tmp_path):
+    """A CoOp trainer on the 8-device mesh (batches sharded over the data
+    axis via put_batch) must produce the same losses and inference logits
+    as the single-device path."""
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.base import set_random_seed
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+    import clip_calibration_tpu.trainers  # noqa: F401
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+
+    def build():
+        cfg = get_cfg_default()
+        cfg.DATASET.ROOT = str(tmp_path / "data")
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.DATASET.NUM_SHOTS = 4
+        cfg.DATASET.SUBSAMPLE_CLASSES = "base"
+        cfg.SEED = 1
+        cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.INPUT.INTERPOLATION = "bicubic"
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8   # divisible by 8 devices
+        cfg.DATALOADER.TEST.BATCH_SIZE = 16
+        cfg.TEST.EVALUATOR = "VLClassification"
+        cfg.OPTIM.NAME = "sgd"
+        cfg.OPTIM.LR = 0.02
+        cfg.TRAINER.NAME = "CoOp"
+        cfg.TRAINER.COOP.N_CTX = 4
+        set_random_seed(1)
+        return TRAINER_REGISTRY.get("CoOp")(cfg)
+
+    t_mesh = build()
+    assert t_mesh.mesh is not None  # 8 virtual devices active
+
+    t_single = build()
+    t_single._mesh = None  # force single-device path
+
+    batch = next(iter(t_mesh.train_loader_x))
+    loss_m = t_mesh.forward_backward(batch)["loss"]
+    loss_s = t_single.forward_backward(batch)["loss"]
+    assert loss_m == pytest.approx(loss_s, rel=2e-5)
+
+    logits_m, _, _ = t_mesh.model_inference(batch["img"])
+    logits_s, _, _ = t_single.model_inference(batch["img"])
+    np.testing.assert_allclose(np.asarray(logits_m),
+                               np.asarray(logits_s), rtol=2e-4, atol=2e-4)
