@@ -148,17 +148,22 @@ class ProDA(VLBaseLearner):
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(img_f, text_mean.T)
 
-            # covariance correction (proda.py:283-292)
+            # covariance correction (proda.py:283-292). Only the diagonal
+            # refined[b,i,i] and the label row refined[b,y_b,:] of
+            # refined = einsum("bd,ipd,kpd->bik", img^2, c, c)/(P+1) are
+            # used, so compute those directly — the naive association
+            # materializes a [D, n_cls, n_cls] covariance (2 GB fp32 at
+            # ImageNet's n_cls=1000) plus a [B, n_cls, n_cls] product.
             P = tf.shape[1]
-            centered = tf - text_mean[:, None]
-            cov = jnp.einsum("ipd,kpd->dik", centered,
-                             centered) / (P + 1)
-            refined = jnp.einsum("bd,dik->bik", img_f ** 2, cov)
-            b = jnp.arange(labels.shape[0])
-            n_cls = text_mean.shape[0]
-            diag = refined[:, jnp.arange(n_cls), jnp.arange(n_cls)]
-            sigma = (refined[b, labels, labels][:, None] + diag
-                     - 2 * refined[b, labels, :])
+            centered = tf - text_mean[:, None]     # [n_cls, P, E]
+            img2 = img_f ** 2                      # [B, E]
+            diag = jnp.dot(img2, jnp.sum(centered ** 2, axis=1).T) \
+                / (P + 1)                          # [B, n_cls]
+            cl = centered[labels]                  # [B, P, E]
+            row = jnp.einsum("bpd,kpd->bk", img2[:, None] * cl,
+                             centered) / (P + 1)   # refined[b, y_b, :]
+            row_ll = jnp.take_along_axis(row, labels[:, None], axis=1)
+            sigma = row_ll + diag - 2 * row
             logits = logits + 0.5 * (scale ** 2) * sigma
             loss_upper = optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()

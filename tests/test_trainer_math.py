@@ -30,18 +30,21 @@ def test_proda_covariance_correction(rng):
              - 2 * refined[b, labels, :])
     want = logits_np + 0.5 * scale ** 2 * sigma
 
-    # the jax expression used inside ProDA's loss
+    # the reassociated jax expression used inside ProDA's loss: only the
+    # diagonal and the label row of `refined` are computed, so the
+    # [E, n_cls, n_cls] covariance never materializes (proda.py loss_fn)
     tf_j = jnp.asarray(tf)
     text_mean_j = tf_j.mean(axis=1)
     logits_j = scale * jnp.asarray(img) @ text_mean_j.T
     centered_j = tf_j - text_mean_j[:, None]
-    cov_j = jnp.einsum("ipd,kpd->dik", centered_j, centered_j) / (P + 1)
-    refined_j = jnp.einsum("bd,dik->bik", jnp.asarray(img) ** 2, cov_j)
-    bj = jnp.arange(B)
     lj = jnp.asarray(labels)
-    diag_j = refined_j[:, jnp.arange(n_cls), jnp.arange(n_cls)]
-    sigma_j = (refined_j[bj, lj, lj][:, None] + diag_j
-               - 2 * refined_j[bj, lj, :])
+    img2_j = jnp.asarray(img) ** 2
+    diag_j = jnp.dot(img2_j, jnp.sum(centered_j ** 2, axis=1).T) / (P + 1)
+    cl_j = centered_j[lj]
+    row_j = jnp.einsum("bpd,kpd->bk", img2_j[:, None] * cl_j,
+                       centered_j) / (P + 1)
+    row_ll_j = jnp.take_along_axis(row_j, lj[:, None], axis=1)
+    sigma_j = row_ll_j + diag_j - 2 * row_j
     got = logits_j + 0.5 * scale ** 2 * sigma_j
 
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
