@@ -49,19 +49,27 @@ def dac_class_confidence(base_zs: jnp.ndarray, cur_zs: jnp.ndarray,
     return jnp.where(fs_min < base_thresh, 1.0, fs_score / zs_score)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("normalized",))
 def fused_dac_scores(image_features: jnp.ndarray,
                      text_features: jnp.ndarray,
                      logit_scale: jnp.ndarray,
-                     class_confidence: jnp.ndarray):
+                     class_confidence: jnp.ndarray,
+                     normalized: bool = False):
     """(img_f [B,E], txt_f [C,E], scalar log-scale, conf [C]) ->
     (calibrated probs [B,C], calibrated logits [B,C]).
 
     logits = scale * norm(img) @ norm(txt).T, each row multiplied by the
     DAC confidence of its argmax class, then softmax — one fused program.
+    ``normalized=True`` skips the normalize (features already unit-norm;
+    re-normalizing bf16-rounded features in fp32 would drift the logits
+    by up to the bf16 rounding error vs the trainer's own inference).
     """
-    img = normalize(image_features).astype(jnp.float32)
-    txt = normalize(text_features).astype(jnp.float32)
+    if normalized:
+        img = image_features.astype(jnp.float32)
+        txt = text_features.astype(jnp.float32)
+    else:
+        img = normalize(image_features).astype(jnp.float32)
+        txt = normalize(text_features).astype(jnp.float32)
     scale = jnp.exp(logit_scale.astype(jnp.float32))
     logits = scale * jnp.dot(img, txt.T,
                              preferred_element_type=jnp.float32)

@@ -84,6 +84,21 @@ def encode_classnames_zs(backbone_name: str, dataset_name: str,
 class VLBaseLearner(TrainerX):
     """Base trainer for vision-language tuning and calibration."""
 
+    #: True on trainers whose ``model_inference`` logits are exactly
+    #: ``exp(logit_scale) * norm(img_f) @ norm(txt_f).T`` of the features
+    #: it returns — the contract the fused DAC scoring kernel
+    #: (ops/scoring.py) recomputes on device. False where the form
+    #: differs: CoCoOp (per-image text features), ProDA (prompt-mean text
+    #: features are not unit-norm), TempScaling/PTS (tempered scale).
+    fused_dac_scoring = False
+
+    def fused_dac_logit_scale(self):
+        """Log logit-scale for the fused DAC scoring path, or None when
+        this trainer's logits are not plain cosine scores."""
+        if not self.fused_dac_scoring:
+            return None
+        return self.clip_params["logit_scale"]
+
     # -- cache paths (reference base_learner.py:106-108,123-134) ------------
     def _base_feature_dir(self, subsample: str) -> str:
         cfg = self.cfg
@@ -182,13 +197,45 @@ class VLBaseLearner(TrainerX):
                                      image_features_test, k)
         test_img_proximity = proximity_from_dists(knndists)
 
-        probs = calibrator.predict(logits, test_img_proximity)
+        probs = self._calibrated_probs(calibrator, logits,
+                                       image_features_test,
+                                       text_features_test,
+                                       test_img_proximity)
         results = self.evaluator.evaluate(probs, labels,
                                           test_img_proximity)
 
         for name, value in results.items():
             self.write_scalar(f"{split}/{name}", value, self.epoch)
         return list(results.values())[0]
+
+    def _calibrated_probs(self, calibrator, logits, image_features_test,
+                          text_features_test, test_img_proximity):
+        """Calibrated probabilities for the eval loop's outputs.
+
+        DAC-only configuration (the paper's headline): runs the fused
+        device-side scoring kernel — normalize, MXU matmul, argmax row
+        scaling and softmax in one jit program (ops/scoring.py) — instead
+        of the host numpy DAC + scipy softmax (the reference's host loop +
+        GPU hop, ``distanse_aware_calibration.py:49-58``). Falls back to
+        the numpy path whenever a base calibrator is composed or this
+        trainer's logits are not plain cosine scores.
+        """
+        if calibrator.dac_calibrator is not None and \
+                calibrator.base_calibrator is None:
+            fused_scale = self.fused_dac_logit_scale()
+            if fused_scale is not None:
+                import jax.numpy as jnp
+
+                from ..ops.scoring import fused_dac_scores
+                return np.asarray(fused_dac_scores(
+                    jnp.asarray(image_features_test),
+                    jnp.asarray(text_features_test),
+                    jnp.asarray(fused_scale),
+                    jnp.asarray(
+                        calibrator.dac_calibrator.class_confidence,
+                        jnp.float32),
+                    normalized=True)[0], np.float64)
+        return calibrator.predict(logits, test_img_proximity)
 
     # -- base-class val feature cache (reference base_learner.py:176-239) ---
     def save_base_val_features(self):

@@ -33,6 +33,7 @@ def adapter_forward(params, x):
 
 @TRAINER_REGISTRY.register()
 class CLIP_Adapter(VLBaseLearner):
+    fused_dac_scoring = True
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COOP.PREC in ("fp16", "fp32", "amp")

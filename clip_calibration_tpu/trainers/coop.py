@@ -147,6 +147,8 @@ def assemble_prompts(ctx: jnp.ndarray, asm) -> jnp.ndarray:
 class CoOp(VLBaseLearner):
     """Context Optimization (https://arxiv.org/abs/2109.01134)."""
 
+    fused_dac_scoring = True
+
     trainer_cfg_key = "COOP"
 
     def check_cfg(self, cfg):

@@ -33,6 +33,7 @@ from .coop import build_prompt_assembly, assemble_prompts
 
 @TRAINER_REGISTRY.register()
 class MaPLe(VLBaseLearner):
+    fused_dac_scoring = True
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.MAPLE.PREC in ("fp16", "fp32", "amp")

@@ -48,6 +48,7 @@ def gpa_schedule(n_epochs: int, mean: float, std: float) -> np.ndarray:
 
 @TRAINER_REGISTRY.register()
 class PromptSRC(VLBaseLearner):
+    fused_dac_scoring = True
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.PROMPTSRC.PREC in ("fp16", "fp32", "amp")

@@ -34,6 +34,7 @@ from .templates import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT
 
 @TRAINER_REGISTRY.register()
 class TaskRes(VLBaseLearner):
+    fused_dac_scoring = True
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.TaskRes.PREC in ("fp16", "fp32", "amp")

@@ -29,6 +29,7 @@ from .base_learner import VLBaseLearner
 
 @TRAINER_REGISTRY.register()
 class VPT(VLBaseLearner):
+    fused_dac_scoring = True
 
     def check_cfg(self, cfg):
         assert cfg.TRAINER.VPT.PREC in ("fp16", "fp32", "amp")

@@ -25,6 +25,7 @@ from .templates import CUSTOM_TEMPLATES
 
 @TRAINER_REGISTRY.register()
 class ZeroshotCLIP(VLBaseLearner):
+    fused_dac_scoring = True
 
     def build_model(self):
         cfg = self.cfg
