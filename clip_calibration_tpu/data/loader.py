@@ -10,13 +10,24 @@ The loader is host-side: PIL decode + geometric transform in a thread pool
 int labels. Normalization happens on device (ops/preprocess.py). Batch
 shapes are static per loader (last partial batch is padded for the eval
 path and the pad mask reported) so jit never retraces.
+
+Batches are produced by a background prefetch thread (queue depth
+``PREFETCH_DEPTH``) so host decode/transform of batch N+1 overlaps device
+execution of batch N — the torch reference gets the same overlap from
+DataLoader(num_workers=8). Epoch order is fixed before the thread starts,
+so prefetching never changes which samples land in which batch.
 """
 
 from __future__ import annotations
 
+import queue
 import random
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Sequence
+
+PREFETCH_DEPTH = 2
+_DONE = object()
 
 import numpy as np
 from PIL import Image
@@ -69,31 +80,68 @@ class DataLoader:
             rng.shuffle(idxs)
         return idxs
 
+    def _make_batch(self, pool, idxs, b):
+        bs = self.batch_size
+        chunk = idxs[b * bs:(b + 1) * bs]
+        items = [self.data_source[i] for i in chunk]
+        imgs = list(pool.map(
+            lambda it: self.transform(_load_image(it.impath)), items))
+        labels = np.asarray([it.label for it in items], np.int32)
+        n_real = len(items)
+        if not self.is_train and self.pad_partial and n_real < bs:
+            pad = bs - n_real
+            imgs = imgs + [imgs[-1]] * pad
+            labels = np.concatenate(
+                [labels, np.full(pad, labels[-1], np.int32)])
+        return {
+            "img": np.stack(imgs),
+            "label": labels,
+            "n_real": n_real,
+            "impath": [it.impath for it in items],
+        }
+
     def __iter__(self):
         idxs = self._order()
-        bs = self.batch_size
         n_batches = len(self)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(n_batches):
-                chunk = idxs[b * bs:(b + 1) * bs]
-                items = [self.data_source[i] for i in chunk]
-                imgs = list(pool.map(
-                    lambda it: self.transform(_load_image(it.impath)),
-                    items))
-                labels = np.asarray([it.label for it in items], np.int32)
-                n_real = len(items)
-                if not self.is_train and self.pad_partial and n_real < bs:
-                    pad = bs - n_real
-                    imgs = imgs + [imgs[-1]] * pad
-                    labels = np.concatenate(
-                        [labels, np.full(pad, labels[-1], np.int32)])
-                batch = {
-                    "img": np.stack(imgs),
-                    "label": labels,
-                    "n_real": n_real,
-                    "impath": [it.impath for it in items],
-                }
-                yield batch
+        q: queue.Queue = queue.Queue(maxsize=PREFETCH_DEPTH)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(
+                        max_workers=self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        if not _put(self._make_batch(pool, idxs, b)):
+                            return
+                _put(_DONE)
+            except BaseException as exc:  # surface in the consumer
+                _put(exc)
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="loader-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 class DataManager:

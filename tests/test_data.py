@@ -128,6 +128,65 @@ def test_train_loader_shuffles_per_epoch(tmp_path):
     np.testing.assert_array_equal(first, again)
 
 
+def test_prefetch_overlaps_and_preserves_order(tmp_path):
+    """The background prefetch thread must (a) yield exactly the batches
+    a synchronous pass would, (b) overlap production with a slow
+    consumer, (c) shut down cleanly when iteration stops early."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from clip_calibration_tpu.data.base import Datum
+    from clip_calibration_tpu.data.loader import DataLoader
+
+    n = 40
+    data = [Datum(impath=f"mem://{i}", label=i % 7, classname=str(i % 7))
+            for i in range(n)]
+
+    produced = []
+
+    def transform(img):  # impath never opened: transform gets the Datum
+        raise AssertionError("unused")
+
+    loader = DataLoader(data, batch_size=8, transform=transform,
+                        is_train=True, num_workers=2, seed=3)
+
+    # swap in an in-memory image source so no files are needed
+    def fake_batch(self, pool, idxs, b):
+        chunk = idxs[b * 8:(b + 1) * 8]
+        items = [self.data_source[i] for i in chunk]
+        time.sleep(0.05)  # simulated decode cost
+        produced.append(b)
+        return {"img": np.zeros((8, 4, 4, 3), np.uint8),
+                "label": np.asarray([it.label for it in items], np.int32),
+                "n_real": len(items),
+                "impath": [it.impath for it in items]}
+
+    loader._make_batch = fake_batch.__get__(loader)
+
+    # (a) deterministic order: two passes over the same epoch agree
+    loader.set_epoch(2)
+    first = [b["impath"] for b in loader]
+    second = [b["impath"] for b in loader]
+    assert first == second and len(first) == n // 8
+
+    # (b) overlap: a consumer that sleeps as long as the producer should
+    # take ~max(producer, consumer), not their sum
+    t0 = time.perf_counter()
+    for _ in loader:
+        time.sleep(0.05)
+    elapsed = time.perf_counter() - t0
+    serial = 2 * 0.05 * (n // 8)
+    assert elapsed < serial * 0.85, f"no overlap: {elapsed:.3f}s"
+
+    # (c) early break terminates the producer thread
+    import threading
+    before = threading.active_count()
+    for b in loader:
+        break
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
+
+
 def test_all_loaders_registered():
     from clip_calibration_tpu.engine.registry import DATASET_REGISTRY
     expected = ["OxfordPets", "OxfordFlowers", "FGVCAircraft",
