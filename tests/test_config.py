@@ -105,3 +105,28 @@ def test_registry():
     assert "Foo" in reg
     with pytest.raises(KeyError):
         reg.get("Bar")
+
+
+def test_every_repo_config_merges_cleanly():
+    """Cheap regression probe: all shipped yamls (datasets, trainers,
+    calibration) must merge into the default tree without unknown keys."""
+    import glob
+    import os.path as osp
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    paths = glob.glob(osp.join(repo, "configs", "**", "*.yaml"),
+                      recursive=True)
+    assert len(paths) > 50
+    for path in paths:
+        cfg = get_cfg_default()
+        cfg.merge_from_file(path)
+
+
+def test_zeroshotclip_variant_configs_present():
+    """Reference-style invocations name these files
+    (/root/reference/configs/trainers/ZeroshotCLIP/)."""
+    import os.path as osp
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    d = osp.join(repo, "configs", "trainers", "ZeroshotCLIP")
+    for name in ("rn50", "vit_b16", "vit_b32", "vit_l14"):
+        assert osp.exists(osp.join(d, name + ".yaml")), name
+        assert osp.exists(osp.join(d, name + "_c0_ep0_batch0.yaml")), name
