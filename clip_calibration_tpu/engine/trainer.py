@@ -120,8 +120,14 @@ class TrainerX:
         self.after_train()
 
     def before_train(self):
-        if self.cfg.RESUME:
-            self.resume_model_if_exist(self.cfg.RESUME)
+        # Dassl parity: resume from RESUME when given, else from the
+        # output dir itself — re-running a finished/interrupted wrapper
+        # invocation picks up its checkpoints instead of restarting (the
+        # reference sweeps' de-facto resilience mechanism,
+        # dassl SimpleTrainer.before_train / scripts/*: dir-exists branch).
+        directory = self.cfg.RESUME or self.output_dir
+        if self._models:
+            self.resume_model_if_exist(directory)
         os.makedirs(self.output_dir, exist_ok=True)
         self.time_start = time.time()
 

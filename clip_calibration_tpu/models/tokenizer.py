@@ -11,10 +11,12 @@ Tokenization is setup-time work (class names and templates, not the hot
 path), so this is plain Python; the resulting ids feed a jit'd embedding
 lookup on device.
 
-Note: the reference pipes text through ftfy.fix_text (mojibake repair).
-Dataset class names and prompt templates are ASCII, where fix_text is the
-identity, so this implementation applies only html-unescape + whitespace
-normalization + lowercasing.
+Note: the reference pipes text through ftfy.fix_text (mojibake repair,
+``clip/simple_tokenizer.py:50-55``). Dataset class names and prompt
+templates are ASCII, where fix_text is the identity; for non-ASCII input
+``_fix_text`` below repairs the dominant mojibake class (UTF-8 bytes
+mis-decoded as cp1252/latin-1) and NFC-normalizes, then html-unescape +
+whitespace normalization + lowercasing as in the reference.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -66,7 +69,48 @@ def _byte_unicode_table() -> Dict[int, str]:
     return table
 
 
+# markers of UTF-8 text mis-decoded as a single-byte codepage: lead-byte
+# letters (Ã, Â, â, ...) and stray C1 controls
+_MOJIBAKE_MARKS = re.compile("[Â-Åâ-]")
+
+
+def _c1_passthrough(err):
+    """codecs error handler: encode C1 controls (undefined in cp1252:
+    0x81 0x8D 0x8F 0x90 0x9D) as their raw byte values — ftfy's "sloppy
+    cp1252" behavior for round-tripping mojibake."""
+    chunk = err.object[err.start:err.end]
+    if any(ord(c) > 0xFF for c in chunk):
+        raise err
+    return bytes(ord(c) for c in chunk), err.end
+
+
+import codecs  # noqa: E402  (handler registration belongs next to it)
+
+codecs.register_error("clipcal_c1", _c1_passthrough)
+
+
+def _fix_text(text: str) -> str:
+    """Minimal ftfy.fix_text stand-in (reference
+    ``clip/simple_tokenizer.py:50-55``): undo UTF-8-as-cp1252/latin-1
+    mojibake when the round-trip decodes cleanly and removes marker
+    characters, then NFC-normalize. Identity on ASCII."""
+    if text.isascii():
+        return text
+    score = len(_MOJIBAKE_MARKS.findall(text))
+    if score:
+        for enc in ("cp1252", "latin-1"):
+            try:
+                candidate = text.encode(enc, "clipcal_c1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(_MOJIBAKE_MARKS.findall(candidate)) < score:
+                text = candidate
+                break
+    return unicodedata.normalize("NFC", text)
+
+
 def _clean(text: str) -> str:
+    text = _fix_text(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()

@@ -6,7 +6,12 @@ SUB=new
 COMMON_DIR=${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
 MODEL_DIR=output/base2new/train_base/${COMMON_DIR}
 DIR=output/base2new/test_${SUB}/${COMMON_DIR}
-echo "Evaluating model -> ${DIR}"
+echo "Evaluating model"
+if [ -d "$DIR" ]; then
+  echo "Results are available in ${DIR}. Resuming..."
+else
+  echo "Run this job and save the output to ${DIR}"
+fi
 python train.py \
   --root "${DATA}" \
   --seed "${SEED}" \

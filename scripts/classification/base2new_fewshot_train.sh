@@ -4,7 +4,11 @@
 TRAINER=$1; CFG=$2; DATASET=$3; DATA=$4; SHOTS=$5; SEED=$6; CALIBRATION_CFG=$7
 SUB=base
 DIR=output/base2new/train_base/${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
-echo "Run this job and save the output to ${DIR}"
+if [ -d "$DIR" ]; then
+  echo "Results are available in ${DIR}. Resuming..."
+else
+  echo "Run this job and save the output to ${DIR}"
+fi
 python train.py \
   --root "${DATA}" \
   --seed "${SEED}" \

@@ -4,6 +4,11 @@
 TRAINER=$1; CFG=$2; DATASET=$3; DATA=$4; SHOTS=$5; SEED=$6; LOADEP=$7; CALIBRATION_CFG=$8
 MODEL_DIR=output/xd/xd_train/${TRAINER}/${CFG}/imagenet/shots_${SHOTS}/seed${SEED}
 DIR=output/xd/xd_test/${TRAINER}/${CFG}/${DATASET}/shots_${SHOTS}/seed${SEED}
+if [ -d "$DIR" ]; then
+  echo "Results are available in ${DIR}. Skip this job"
+  exit 0
+fi
+echo "Run this job and save the output to ${DIR}"
 python train.py \
   --root "${DATA}" \
   --seed "${SEED}" \

@@ -4,6 +4,11 @@
 CFG=$1; DATASET=$2; DATA=$3; SEED=$4; CALIBRATION_CFG=$5
 TRAINER=ZeroshotCLIP
 DIR=output/xd/xd_test/${TRAINER}/${CFG}/${DATASET}/seed${SEED}
+if [ -d "$DIR" ]; then
+  echo "Results are available in ${DIR}. Skip this job"
+  exit 0
+fi
+echo "Run this job and save the output to ${DIR}"
 python train.py \
   --root "${DATA}" \
   --seed "${SEED}" \

@@ -1,0 +1,70 @@
+"""Script-level idempotency/resume (reference scripts/*: dir-exists
+branches + Dassl auto-resume from the output dir).
+
+Re-running a finished base2new_fewshot_train.sh invocation must resume at
+the final epoch (no retraining) instead of restarting from scratch; the
+xd test wrappers must skip entirely when their output dir exists.
+"""
+
+import os
+import os.path as osp
+import subprocess
+
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.fixture()
+def script_cwd(tmp_path):
+    """A scratch cwd with train.py + configs visible, as the reference
+    wrappers expect to run from the repo root."""
+    os.symlink(osp.join(REPO, "train.py"), tmp_path / "train.py")
+    os.symlink(osp.join(REPO, "configs"), tmp_path / "configs")
+    return tmp_path
+
+
+def _run(script, args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        ["bash", osp.join(REPO, "scripts", script)] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return proc.stdout
+
+
+def test_train_wrapper_resumes_finished_run(script_cwd):
+    data = str(script_cwd / "data")
+
+    # zero-shot base run fills the ./temp feature cache CoOp's test needs
+    out = _run("classification/base2new_zeroshot_base.sh",
+               ["vit_test", "synthetic", data, "8", "1", ""], script_cwd)
+    assert "=> result" in out
+
+    train_args = ["CoOp", "vit_test_ep3", "synthetic", data, "8", "1", ""]
+    out1 = _run("classification/base2new_fewshot_train.sh", train_args,
+                script_cwd)
+    assert "Run this job and save the output to" in out1
+    assert "epoch [3/3]" in out1  # trained to completion
+
+    # second invocation: dir exists -> resume at the last checkpoint,
+    # retrain nothing, re-run the final evaluation
+    out2 = _run("classification/base2new_fewshot_train.sh", train_args,
+                script_cwd)
+    assert "Resuming..." in out2
+    assert "Resumed from" in out2 and "(epoch 3)" in out2
+    assert "epoch [" not in out2  # no training epochs re-run
+    assert "=> result" in out2
+
+
+def test_xd_test_wrapper_skips_existing_dir(script_cwd):
+    d = script_cwd / ("output/xd/xd_test/ZeroshotCLIP/vit_test/"
+                      "synthetic/seed1")
+    d.mkdir(parents=True)
+    out = _run("classification/xd_zeroshot_test.sh",
+               ["vit_test", "synthetic", str(script_cwd / "data"), "1",
+                ""], script_cwd)
+    assert "Skip this job" in out
+    assert not (d / "log.txt").exists()  # python never ran

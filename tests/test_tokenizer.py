@@ -67,3 +67,18 @@ def test_unicode_roundtrip(tok):
     s = "café naïve über"
     ids = tok.encode(s)
     assert tok.decode(ids).strip() == "café naïve über"
+
+
+def test_fix_text_mojibake_repair():
+    """ftfy.fix_text stand-in (reference clip/simple_tokenizer.py:50-55):
+    repairs UTF-8-as-cp1252/latin-1 mojibake, identity on ASCII and on
+    already-correct text."""
+    from clip_calibration_tpu.models.tokenizer import _fix_text
+
+    assert _fix_text("a photo of a dog.") == "a photo of a dog."
+    assert _fix_text("caf\u00e9") == "caf\u00e9"  # correct text untouched
+    assert _fix_text("Caf\u00c3\u00a9") == "Caf\u00e9"
+    assert _fix_text("na\u00c3\u00afve") == "na\u00efve"
+    assert _fix_text("Gro\u00c3\u009fe") == "Gro\u00dfe"
+    # cp1252 smart quotes incl. the 0x9D undefined-byte gap
+    assert _fix_text("\u00e2\u20ac\u0153q\u00e2\u20ac\u009d") == "\u201cq\u201d"
