@@ -5,10 +5,16 @@ ViT-B/16 image encoder (bf16, on-device uint8 normalization fused into the
 encode), the dominant FLOPs of every training/eval loop in the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` reports the fraction of the chip's bf16 roofline this
-encode achieves (model FLOPs utilization) — a hardware-normalized stand-in
-that is comparable across rounds.
+
+Contract (stable across rounds, see BASELINE.md):
+- ``value``        median images/sec/chip over >=5 timed trials
+- ``vs_baseline``  model FLOPs utilization (achieved / 197 TFLOP/s nominal
+                   v5e bf16 roofline). The reference publishes no
+                   throughput numbers, so MFU is the hardware-normalized
+                   stand-in comparable across rounds. Round 1: 0.33.
+- ``spread``       [min, max] images/sec across trials (the tunneled dev
+                   chip shows +-30% run-to-run variance; only deltas
+                   beyond the spread are real).
 """
 
 from __future__ import annotations
@@ -23,7 +29,9 @@ import jax.numpy as jnp
 from clip_calibration_tpu.models import clip as M
 from clip_calibration_tpu.ops.preprocess import normalize_images
 
-PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16
+PEAK_BF16_FLOPS = 197e12  # TPU v5e nominal peak bf16
+N_TRIALS = 7
+N_ITERS = 20
 
 
 def vit_encode_flops(cfg: M.CLIPConfig) -> float:
@@ -53,8 +61,6 @@ def main():
     # iterations and fetch a single scalar at the end — the remote-device
     # tunnel elides repeated identical dispatches and returns from
     # block_until_ready early, so naive dispatch loops mis-measure.
-    N_ITERS = 20
-
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(params, images, n):
         def body(carry, _):
@@ -72,18 +78,17 @@ def main():
         ).astype(jnp.uint8)
         images = jax.device_put(images, dev)
         int(chained(params, images, 2))  # compile + warmup
-        # median of repeats: shared-tunnel TPU timing is noisy
         trials = []
-        for _ in range(3):
+        for _ in range(N_TRIALS):
             t0 = time.perf_counter()
             int(chained(params, images, N_ITERS))
-            trials.append(time.perf_counter() - t0)
-        dt = sorted(trials)[len(trials) // 2]
-        ips = batch * N_ITERS / dt
-        if best is None or ips > best[1]:
-            best = (batch, ips)
+            trials.append(batch * N_ITERS / (time.perf_counter() - t0))
+        trials.sort()
+        med = trials[len(trials) // 2]
+        if best is None or med > best[1]:
+            best = (batch, med, trials[0], trials[-1])
 
-    batch, ips = best
+    batch, ips, ips_min, ips_max = best
     achieved_tflops = ips * vit_encode_flops(cfg) / 1e12
     mfu = achieved_tflops * 1e12 / PEAK_BF16_FLOPS
 
@@ -96,14 +101,16 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(mfu, 4),
+        "mfu": round(mfu, 4),
+        "spread": [round(ips_min, 1), round(ips_max, 1)],
+        "trials": N_TRIALS,
         "batch": batch,
         "device": str(dev),
         "achieved_tflops": round(achieved_tflops, 1),
         "coop_train_step_images_per_s": round(train_ips, 1),
-        "notes": "vs_baseline = effective FLOPs / 197 TFLOP/s nominal "
-                 "bf16 roofline; this encode outruns every plain "
-                 "large-matmul microbenchmark measured on the tunneled "
-                 "dev chip (reference publishes no throughput numbers)",
+        "notes": "vs_baseline = MFU = achieved / 197 TFLOP/s nominal v5e "
+                 "bf16 roofline (reference publishes no throughput "
+                 "numbers; see BASELINE.md and docs/ROOFLINE.md)",
     }))
 
 

@@ -185,7 +185,8 @@ def init_clip(rng: jax.Array, cfg: CLIPConfig,
 # Transformer with uniform prompt injection
 # ---------------------------------------------------------------------------
 
-def _splice_text(x: jnp.ndarray, prompt: jnp.ndarray) -> jnp.ndarray:
+def _splice_text(x: jnp.ndarray, prompt: jnp.ndarray,
+                 real_len: int) -> jnp.ndarray:
     """Replace x[:, 1:1+n_ctx] with prompt (text-side splice,
     reference ``clip/model.py:247-256``)."""
     n_ctx = prompt.shape[0]
@@ -194,13 +195,16 @@ def _splice_text(x: jnp.ndarray, prompt: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x[:, :1], tiled, x[:, 1 + n_ctx:]], axis=1)
 
 
-def _splice_vision(x: jnp.ndarray, prompt: jnp.ndarray) -> jnp.ndarray:
-    """Replace the trailing n_ctx tokens with prompt (vision-side splice,
-    reference ``clip/model.py:236-243``)."""
+def _splice_vision(x: jnp.ndarray, prompt: jnp.ndarray,
+                   real_len: int) -> jnp.ndarray:
+    """Replace the trailing n_ctx REAL tokens with prompt (vision-side
+    splice, reference ``clip/model.py:236-243``); any padding rows past
+    ``real_len`` stay in place."""
     n_ctx = prompt.shape[0]
     tiled = jnp.broadcast_to(prompt.astype(x.dtype),
                              (x.shape[0],) + prompt.shape)
-    return jnp.concatenate([x[:, :x.shape[1] - n_ctx], tiled], axis=1)
+    return jnp.concatenate([x[:, :real_len - n_ctx], tiled,
+                            x[:, real_len:]], axis=1)
 
 
 def transformer(
@@ -219,8 +223,29 @@ def transformer(
     [1, deep_prompt_depth) splices prompt row i-1 into the sequence before
     attention (layer 0 never splices: the shallow prompt is already in x).
     ``deep_prompt_depth`` is static so XLA sees fixed control flow.
+
+    The token axis is padded ONCE here to the bf16 sublane multiple (16)
+    for the whole tower — the fused attention kernel then needs no
+    per-layer pad/slice, and XLA tiles the big matmuls on aligned shapes.
+    Padded KEYS are masked to -inf so they get exactly zero probability;
+    padded ROWS attend to token 0 only (keeps them finite — an all--inf
+    row would softmax to NaN and poison the next layer's keys). Row-wise
+    ops (LN/MLP/residual) never mix rows, so real-token outputs are
+    unchanged; the pad is sliced off on return.
     """
     n_layers = blocks["ln_1"]["scale"].shape[0]
+    L = x.shape[1]
+    Lp = ((L + 15) // 16) * 16
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+        neg = jnp.finfo(jnp.float32).min
+        full = jnp.zeros((Lp, Lp), jnp.float32)
+        if mask is not None:
+            full = full.at[:L, :L].set(mask.astype(jnp.float32))
+        full = full.at[:, L:].set(neg)
+        full = full.at[L:, :].set(neg)
+        full = full.at[L:, 0].set(0.0)
+        mask = full
 
     def body(carry, scanned):
         h = carry
@@ -228,7 +253,7 @@ def transformer(
         if deep_prompts is not None:
             splice = _splice_text if text_side else _splice_vision
             h = jnp.where((idx > 0) & (idx < deep_prompt_depth),
-                          splice(h, prompt), h)
+                          splice(h, prompt, L), h)
         h = h + multi_head_attention(
             layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
             p["attn"]["wqkv"], p["attn"]["bqkv"],
@@ -253,7 +278,7 @@ def transformer(
 
     idxs = jnp.arange(n_layers)
     out, _ = jax.lax.scan(body, x, (blocks, prompts, idxs))
-    return out
+    return out[:, :L] if Lp != L else out
 
 
 # ---------------------------------------------------------------------------

@@ -69,17 +69,23 @@ def multi_head_attention(
     B, L, D = x.shape
     head_dim = D // n_heads
     qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)  # [B,L,3D]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
-
-    q, k, v = heads(q), heads(k), heads(v)
-    scale = 1.0 / (head_dim ** 0.5)
-    if _use_pallas():
-        from .pallas_attention import pallas_mha
-        out = pallas_mha(q * scale, k, v, mask)
+    if _use_pallas() and L % 16 == 0:
+        # fused head-split/QK^T/softmax/PV directly on the packed qkv —
+        # no head transposes, scores never leave VMEM. The tower pads L
+        # to a sublane multiple once (models/clip.py::transformer) and
+        # always supplies the padding mask.
+        from .pallas_attention import pallas_mha_qkv
+        if mask is None:
+            mask = jnp.zeros((L, L), jnp.float32)
+        out = pallas_mha_qkv(qkv, mask.astype(jnp.float32), n_heads)
     else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / (head_dim ** 0.5)
         # fp32 accumulation on the MXU for the score matmul
         scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
@@ -87,7 +93,7 @@ def multi_head_attention(
             scores = scores + mask.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
 
 

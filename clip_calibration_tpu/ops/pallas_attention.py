@@ -1,16 +1,27 @@
 """Pallas fused attention kernel for the CLIP towers.
 
 At CLIP sequence lengths (77 text / 197-257 vision tokens) the full
-[L, L] fp32 score matrix fits comfortably in VMEM, so the kernel is a
-single fused QK^T -> softmax -> PV per (batch, head) grid cell — scores
-never touch HBM (XLA materializes them: ~1 GB of fp32 score traffic per
-ViT-B/16 layer at batch 512). No online-softmax machinery is needed at
-these lengths; this is the short-sequence regime of flash attention.
+[L, L] fp32 score matrix fits comfortably in VMEM, so the kernel fuses
+head-split -> QK^T -> softmax -> PV for EVERY head of one batch row per
+grid cell, consuming the [B, L, 3D] fused-QKV matmul output directly.
+That removes the two HBM costs that dominate the XLA path at these
+shapes (measured on TPU v5e, batch 512 ViT-B/16):
 
-Layout notes (see /opt/skills/guides/pallas_guide.md): grid is (B*H,) with
-whole-sequence blocks resident in VMEM; sequence padded to the bf16
-sublane multiple (16); padded keys are masked with -inf via the additive
-mask, padded query rows are sliced off by the caller.
+- the [B, L, H, d] <-> [B, H, L, d] head transposes (4 per layer,
+  ~1.3 GB/layer of HBM round-trips), and
+- the materialized [B, H, L, L] score/prob tensors (~2.9 GB/layer).
+
+Per grid cell the kernel streams 3*L*D bf16 in and L*D out — within ~2x
+of the bandwidth lower bound for attention at these shapes. No
+online-softmax machinery is needed (short-sequence regime of flash
+attention). The caller pads the sequence once for the whole tower (see
+``models/clip.py::transformer``) so L here is already a sublane multiple
+and padded keys arrive masked via the additive mask.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): grid (B,), whole
+[L, 3D] block resident in VMEM (958 KB for ViT-B/16), heads unrolled
+statically; scores are fp32 on the MXU with the query pre-scale applied
+in-kernel on the VPU.
 """
 
 from __future__ import annotations
@@ -19,98 +30,107 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def _mha_qkv_kernel(qkv_ref, mask_ref, o_ref, *, n_heads: int):
+    blk = qkv_ref[0]                                # [L, 3D]
+    D = blk.shape[-1] // 3
+    d = D // n_heads
+    scale = 1.0 / (d ** 0.5)
+    mask = mask_ref[...]                            # [L, L] fp32
+    for h in range(n_heads):                        # static unroll
+        q = blk[:, h * d:(h + 1) * d] * scale
+        k = blk[:, D + h * d:D + (h + 1) * d]
+        v = blk[:, 2 * D + h * d:2 * D + (h + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + mask
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[0]                                   # [Lp, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    s = s + mask_ref[...]
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        v.dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_mha_qkv(qkv: jnp.ndarray, mask: jnp.ndarray, n_heads: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused multi-head attention over a packed QKV tensor.
 
+    Args:
+      qkv: [B, L, 3D] — the fused in-projection output, heads NOT split
+        (q = [..., :D], k = [..., D:2D], v = [..., 2D:], head h of each
+        at columns [h*d, (h+1)*d)). L must be a sublane multiple (the
+        tower pads once, models/clip.py::transformer).
+      mask: [L, L] additive fp32 mask (causal and/or key padding).
+      n_heads: static head count.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def pallas_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               mask: jnp.ndarray | None = None,
-               interpret: bool = False) -> jnp.ndarray:
-    """Fused attention over [B, H, L, D] (q pre-scaled by caller).
-
-    mask: optional [L, L] additive fp32 mask (e.g. causal). Forward runs
-    the Pallas kernel; the backward pass (custom VJP below) recomputes
-    probabilities with XLA ops — pallas_call has no autodiff rule, and
-    prompt-tuning backprops through both towers.
+    Returns [B, L, D] with heads concatenated — ready for the output
+    projection, no transposes. Forward runs the Pallas kernel; the
+    backward pass (custom VJP below) recomputes probabilities with XLA
+    ops — pallas_call has no autodiff rule, and prompt tuning backprops
+    through both towers.
     """
-    return _pallas_mha_fwd_impl(q, k, v, mask, interpret)
+    return _fwd_impl(qkv, mask, n_heads, interpret)
 
 
-def _pallas_mha_fwd_impl(q, k, v, mask, interpret):
-    B, H, L, D = q.shape
-    Lp = _round_up(L, 16)
-
-    full_mask = jnp.zeros((Lp, Lp), jnp.float32)
-    if mask is not None:
-        full_mask = full_mask.at[:L, :L].set(mask.astype(jnp.float32))
-    if Lp != L:
-        # padded keys must never receive probability mass
-        full_mask = full_mask.at[:, L:].set(jnp.finfo(jnp.float32).min)
-
-    def pad(t):
-        if Lp == L:
-            return t.reshape(B * H, L, D)
-        return jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, 0))).reshape(
-            B * H, Lp, D)
-
-    qp, kp, vp = pad(q), pad(k), pad(v)
-
-    out = pl.pallas_call(
-        _attn_kernel,
-        grid=(B * H,),
+def _fwd_impl(qkv, mask, n_heads, interpret):
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    return pl.pallas_call(
+        functools.partial(_mha_qkv_kernel, n_heads=n_heads),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((Lp, Lp), lambda i: (0, 0)),
+            pl.BlockSpec((1, L, D3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((L, L), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
+        out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
-    )(qp, kp, vp, full_mask)
-
-    return out.reshape(B, H, Lp, D)[:, :, :L, :]
+    )(qkv, mask)
 
 
-def _pallas_mha_fwd(q, k, v, mask, interpret):
-    return _pallas_mha_fwd_impl(q, k, v, mask, interpret), (q, k, v, mask)
+def _split_heads(qkv, n_heads):
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, D // n_heads).transpose(0, 2, 1, 3)
+
+    return heads(q), heads(k), heads(v)
 
 
-def _pallas_mha_bwd(interpret, residuals, g):
-    """Standard attention backward, recomputing probs (XLA ops)."""
-    q, k, v, mask = residuals
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+def _fwd(qkv, mask, n_heads, interpret):
+    return _fwd_impl(qkv, mask, n_heads, interpret), (qkv, mask)
+
+
+def _bwd(n_heads, interpret, residuals, g):
+    """Standard attention backward, recomputing probs (XLA ops; layout
+    conversions are acceptable off the inference hot path)."""
+    qkv, mask = residuals
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    d = D // n_heads
+    q, k, v = _split_heads(qkv, n_heads)
+    scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                    preferred_element_type=jnp.float32)
-    if mask is not None:
-        s = s + mask.astype(s.dtype)
+    s = s + mask.astype(s.dtype)
     p = jax.nn.softmax(s, axis=-1)
 
-    gf = g.astype(jnp.float32)
+    gh = g.reshape(B, L, n_heads, d).transpose(0, 2, 1, 3).astype(
+        jnp.float32)
     vf = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gh)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gh, vf)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dmask)
+    dq = scale * jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+
+    def merge(t):
+        return t.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+    dqkv = jnp.concatenate(
+        [merge(dq), merge(dk), merge(dv)], axis=-1).astype(qkv.dtype)
+    return dqkv, jnp.zeros_like(mask)
 
 
-pallas_mha.defvjp(_pallas_mha_fwd, _pallas_mha_bwd)
+pallas_mha_qkv.defvjp(_fwd, _bwd)
