@@ -86,6 +86,19 @@ class TempScaling(VLBaseLearner):
 
         self._scale_step = scale_step
         self._cos_cache = {}  # impath tuple -> (cos_logits, labels)
+        # cache-validity contract: the base model must stay frozen while
+        # scaling trains (its trainables are tiny, so the fingerprint
+        # check per cache hit is cheap)
+        self._base_fingerprint = self._fingerprint_base()
+        self._fingerprint_checked = False
+
+    def _fingerprint_base(self) -> float:
+        total = 0.0
+        for name, slot in self.base._models.items():
+            for leaf in jax.tree.leaves(slot["params"]):
+                total += float(jnp.sum(jnp.abs(
+                    jnp.asarray(leaf, jnp.float32))))
+        return total
 
     # -- helpers --------------------------------------------------------------
     def _unit_logits(self, images):
@@ -102,9 +115,22 @@ class TempScaling(VLBaseLearner):
         n = batch["n_real"]
         key = tuple(batch["impath"])
         if key not in self._cos_cache:
+            # bounded by construction: the seeded eval-order val loader
+            # replays identical batches each epoch, so the cache holds at
+            # most one epoch of batches — assert rather than assume
+            assert len(self._cos_cache) < len(self.train_loader_x), (
+                "TempScaling logit cache grew past one epoch — the val "
+                "loader order is expected to be deterministic")
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
             self._cos_cache[key] = (cos[:n], np.asarray(labels)[:n])
+        elif not self._fingerprint_checked:
+            # first cache hit of the run: the base model must not have
+            # trained since build (cached logits would silently go stale)
+            assert self._fingerprint_base() == self._base_fingerprint, (
+                "base model parameters changed after TempScaling build; "
+                "cached cosine logits are stale")
+            self._fingerprint_checked = True
         return self._cos_cache[key]
 
     def forward_backward(self, batch):
