@@ -82,6 +82,10 @@ def get_cfg_default() -> CN:
     # ------------------------------------------------------------------ model
     cfg.MODEL = CN()
     cfg.MODEL.INIT_WEIGHTS = ""
+    # compute precision for trainers without their own PREC knob
+    # (ZeroshotCLIP + the zero-shot text encoder): "bf16" on TPU, "fp32"
+    # mirrors the reference's model.float() on CPU (clip/clip.py:130-135)
+    cfg.MODEL.PRECISION = "bf16"
     cfg.MODEL.BACKBONE = CN()
     cfg.MODEL.BACKBONE.NAME = ""
     cfg.MODEL.BACKBONE.PRETRAINED = True

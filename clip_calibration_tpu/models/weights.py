@@ -56,7 +56,7 @@ def save_params(path: str, params: Params) -> None:
             arrays[k + "::bf16"] = np.asarray(v).view(np.uint16)
         else:
             arrays[k] = v
-    np.savez(path, **arrays)
+    np.savez_compressed(path, **arrays)
 
 
 def load_params(path: str) -> Params:

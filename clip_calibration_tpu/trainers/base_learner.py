@@ -60,23 +60,32 @@ def _load_feature_dict(path: str) -> dict:
 
 
 @functools.lru_cache(maxsize=2)
-def _zs_clip(backbone_name: str):
-    """Frozen zero-shot CLIP for calibration text features (reference
-    ``tools/zsclip_encoder.py:29-48``), cached per backbone."""
+def _zs_clip_cached(backbone_name: str, ckpt_dir: str | None):
     return load_clip_backbone(backbone_name)
 
 
+def _zs_clip(backbone_name: str):
+    """Frozen zero-shot CLIP for calibration text features (reference
+    ``tools/zsclip_encoder.py:29-48``), cached per backbone. The cache
+    key includes CLIP_CHECKPOINT_DIR so switching weight dirs within one
+    process (tests, notebooks) never serves stale params."""
+    return _zs_clip_cached(backbone_name,
+                           os.environ.get("CLIP_CHECKPOINT_DIR"))
+
+
 def encode_classnames_zs(backbone_name: str, dataset_name: str,
-                         classnames, template: str | None = None
-                         ) -> np.ndarray:
+                         classnames, template: str | None = None,
+                         precision: str = "bf16") -> np.ndarray:
     """Zero-shot text features for the given class names, normalized."""
     import jax
+    import jax.numpy as jnp
     params, ccfg = _zs_clip(backbone_name)
+    dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
     temp = template or build_clip_templates(dataset_name)
     prompts = [temp.format(c.replace("_", " ")) for c in classnames]
     toks = tokenize(prompts)
     feats = jax.jit(lambda p, t: M.normalize(
-        M.encode_text(p, ccfg, t)))(params, toks)
+        M.encode_text(p, ccfg, t, dtype=dtype)))(params, toks)
     return np.asarray(feats, np.float32)
 
 
@@ -283,7 +292,7 @@ class VLBaseLearner(TrainerX):
         # 2. current classes through frozen zero-shot CLIP
         current_text_features_zs = encode_classnames_zs(
             cfg.MODEL.BACKBONE.NAME, cfg.DATASET.NAME,
-            self.dm.dataset.classnames)
+            self.dm.dataset.classnames, precision=cfg.MODEL.PRECISION)
 
         # 3. base text features from this trainer's own base run
         base_text_features_tuned = val_dict["val_text_features"]

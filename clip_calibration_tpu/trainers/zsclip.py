@@ -40,16 +40,20 @@ class ZeroshotCLIP(VLBaseLearner):
         print(f"Prompts: {prompts}")
         toks = tokenize(prompts)
 
+        dtype = (jnp.float32 if cfg.MODEL.PRECISION == "fp32"
+                 else jnp.bfloat16)
         ccfg = self.clip_cfg
         text_features = jax.jit(
-            lambda p, t: M.normalize(M.encode_text(p, ccfg, t)))(
+            lambda p, t: M.normalize(M.encode_text(p, ccfg, t,
+                                                   dtype=dtype)))(
                 self.clip_params, toks)
         self.text_features = text_features
 
         @functools.partial(jax.jit)
         def infer(params, txt_f, images):
-            x = normalize_images(images)
-            img_f = M.normalize(M.encode_image(params, ccfg, x))
+            x = normalize_images(images, dtype=dtype)
+            img_f = M.normalize(M.encode_image(params, ccfg, x,
+                                               dtype=dtype))
             scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(
                 img_f.astype(jnp.float32), txt_f.astype(jnp.float32).T,

@@ -1,0 +1,136 @@
+"""End-to-end golden gate against reference-generated numbers.
+
+The fixture (tests/fixtures/golden_e2e/, built once by gen_golden_e2e.py)
+holds a tiny real-image dataset, a seeded CLIP checkpoint shared by both
+frameworks, a CoOp prompt checkpoint in the reference torch format, and
+GOLDEN metrics computed by composing the reference implementation's own
+modules (clip/model.py, tools/metrics.py, proximity.py, DAC) plus the
+reference TempScaling ScaleLearner math.
+
+This test runs the REAL CLI (train.py) through the full base2new +
+TempScaling + DAC pipeline and asserts the printed `=> result` values
+reproduce the reference numbers (fp32 both sides).
+"""
+
+import json
+import os
+import os.path as osp
+import re
+import shutil
+import sys
+
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+FIX = osp.join(REPO, "tests", "fixtures", "golden_e2e")
+
+GOLDEN = json.load(open(osp.join(FIX, "golden.json")))
+
+# 2-decimal log rounding (0.01) + fp32 model-parity drift on the tiny
+# splits (existing encoder parity bound is 2e-4 relative, which at
+# logit-scale ~14 can move a single sample's confidence by ~0.3%)
+TOL = 0.06
+
+OPTS = ["DATASET.NUM_SHOTS", "4", "MODEL.PRECISION", "fp32",
+        "DATALOADER.TEST.BATCH_SIZE", "32",
+        "INPUT.SIZE", "(32, 32)", "INPUT.INTERPOLATION", "bicubic",
+        "TRAIN.PRINT_FREQ", "1"]
+
+
+def _run(args):
+    from train import build_parser, main
+    main(build_parser().parse_args(args))
+    sys.stdout = sys.__stdout__  # undo the logger tee
+
+
+def _parse_result(log_path):
+    text = open(log_path).read()
+    block = text[text.rindex("=> result"):]
+    out = {}
+    for key in ("accuracy", "macro_f1", "ece", "mce", "ace", "piece"):
+        out[key] = float(re.search(
+            rf"\* {key}: (\d+\.\d+)%", block).group(1))
+    return out
+
+
+def _check(got, want_key):
+    want = GOLDEN[want_key]
+    for key, val in got.items():
+        assert abs(val - want[key]) <= TOL, (
+            f"{want_key}.{key}: ours {val} vs reference {want[key]:.2f}")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("golden_e2e")
+    shutil.copytree(osp.join(FIX, "data", "caltech-101"),
+                    wd / "data" / "caltech-101")
+    old_cwd, old_env = os.getcwd(), os.environ.get("CLIP_CHECKPOINT_DIR")
+    os.chdir(wd)
+    os.environ["CLIP_CHECKPOINT_DIR"] = osp.join(FIX, "weights")
+    yield str(wd)
+    os.chdir(old_cwd)
+    if old_env is None:
+        os.environ.pop("CLIP_CHECKPOINT_DIR", None)
+    else:
+        os.environ["CLIP_CHECKPOINT_DIR"] = old_env
+    sys.stdout = sys.__stdout__
+
+
+COMMON = ["--seed", "1", "--backbone", "ViT-Test",
+          "--dataset-config-file",
+          osp.join(REPO, "configs", "datasets", "caltech101.yaml")]
+
+
+def test_full_pipeline_matches_reference(workdir):
+    root = osp.join(workdir, "data")
+    coop_cfg = osp.join(FIX, "coop_fp32.yaml")
+    coop_model = osp.join(FIX, "coop_model")
+
+    # ---- 1. ZeroshotCLIP on base classes (fills the zs feature cache)
+    _run(COMMON + ["--root", root, "--trainer", "ZeroshotCLIP",
+                   "--output-dir", "out/zs_base"]
+         + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+    _check(_parse_result("out/zs_base/log.txt"), "zsclip_base")
+
+    # ---- 2. CoOp base split, reference checkpoint, eval-only
+    _run(COMMON + ["--root", root, "--trainer", "CoOp",
+                   "--config-file", coop_cfg,
+                   "--output-dir", "out/coop_base",
+                   "--model-dir", coop_model, "--eval-only"]
+         + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+    _check(_parse_result("out/coop_base/log.txt"), "coop_base")
+
+    # ---- 3. CoOp new split + DAC (exercises the fused scoring kernel
+    #         end-to-end against reference numbers)
+    _run(COMMON + ["--root", root, "--trainer", "CoOp",
+                   "--config-file", coop_cfg,
+                   "--output-dir", "out/coop_new",
+                   "--model-dir", coop_model, "--eval-only",
+                   "--calibration-config", json.dumps(
+                       {"BASE_CALIBRATION_MODE": None, "IF_DAC": True,
+                        "IF_PROCAL": False})]
+         + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "new"])
+    _check(_parse_result("out/coop_new/log_dac.txt"), "coop_new_dac")
+
+    # ---- 4. TempScaling trained on the CoOp base model
+    _run(COMMON + ["--root", root, "--trainer", "CoOp",
+                   "--config-file", coop_cfg,
+                   "--output-dir", "out/coop_scaling",
+                   "--base-dir", coop_model,
+                   "--calibration-config", json.dumps(
+                       {"BASE_CALIBRATION_MODE": "scaling_based",
+                        "SCALING_CONFIG": osp.join(
+                            REPO, "configs", "calibration", "TempScaling",
+                            "ep20_lr5e-2.yaml"),
+                        "IF_DAC": False, "IF_PROCAL": False})]
+         + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "base"])
+    log = open("out/coop_scaling/log_TempScaling.txt").read()
+    temps = re.findall(r"temperature (\d+\.\d+)", log)
+    assert temps, "no temperature lines logged"
+    temperature = float(temps[-1])
+    want_t = GOLDEN["tempscaling_temperature"]
+    assert abs(temperature - want_t) < 2e-3, (temperature, want_t)
+    _check(_parse_result("out/coop_scaling/log_TempScaling.txt"),
+           "coop_base_tempscaled")
