@@ -115,9 +115,13 @@ def main():
 
 
 def _train_step_throughput(batch: int = 32, n_cls: int = 100,
-                           n_iters: int = 10) -> float:
+                           n_iters: int = 20) -> float:
     """CoOp train-step throughput: grad w.r.t. prompt ctx through both
-    towers + sgd update, one jit program, reference batch size."""
+    towers + sgd update, reference batch size. Steps are chained inside
+    one jit (state threaded through lax.scan, inputs varied per step) so
+    the tunnel's per-dispatch round-trip latency doesn't dominate —
+    this measures the device's step rate, matching how a real training
+    loop with queued-ahead dispatch behaves."""
     import optax
     import __graft_entry__ as g
 
@@ -127,24 +131,31 @@ def _train_step_throughput(batch: int = 32, n_cls: int = 100,
     opt_state = opt.init(ctx)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=())
-    def step(ctx, opt_state, frozen, embedding, eot_pos, images, labels,
-             i):
-        loss, grads = jax.value_and_grad(g._loss_fn)(
-            ctx, frozen, embedding, eot_pos, images ^ i, labels, ccfg, 16)
-        updates, opt_state = opt.update(grads, opt_state, ctx)
-        return optax.apply_updates(ctx, updates), opt_state, loss
+                       static_argnames=("n",))
+    def run(ctx, opt_state, frozen, embedding, eot_pos, images, labels,
+            n):
+        def body(carry, i):
+            ctx, opt_state = carry
+            loss, grads = jax.value_and_grad(g._loss_fn)(
+                ctx, frozen, embedding, eot_pos,
+                images ^ i.astype(jnp.uint8), labels, ccfg, 16)
+            updates, opt_state = opt.update(grads, opt_state, ctx)
+            return (optax.apply_updates(ctx, updates), opt_state), loss
+        (ctx, opt_state), losses = jax.lax.scan(
+            body, (ctx, opt_state), jnp.arange(n))
+        return ctx, opt_state, losses[-1]
 
-    ctx, opt_state, loss = step(ctx, opt_state, params, embedding,
-                                eot_pos, images, labels, jnp.uint8(0))
+    ctx, opt_state, loss = run(ctx, opt_state, params, embedding,
+                               eot_pos, images, labels, 2)
     float(loss)  # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        ctx, opt_state, loss = step(ctx, opt_state, params, embedding,
-                                    eot_pos, images, labels,
-                                    jnp.uint8(i % 250))
-    float(loss)
-    return batch * n_iters / (time.perf_counter() - t0)
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ctx, opt_state, loss = run(ctx, opt_state, params, embedding,
+                                   eot_pos, images, labels, n_iters)
+        float(loss)
+        trials.append(batch * n_iters / (time.perf_counter() - t0))
+    return sorted(trials)[1]
 
 
 if __name__ == "__main__":
