@@ -87,49 +87,99 @@ def _fwd_impl(qkv, mask, n_heads, interpret):
     )(qkv, mask)
 
 
-def _split_heads(qkv, n_heads):
-    B, L, D3 = qkv.shape
-    D = D3 // 3
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(B, L, n_heads, D // n_heads).transpose(0, 2, 1, 3)
-
-    return heads(q), heads(k), heads(v)
-
-
 def _fwd(qkv, mask, n_heads, interpret):
     return _fwd_impl(qkv, mask, n_heads, interpret), (qkv, mask)
 
 
-def _bwd(n_heads, interpret, residuals, g):
-    """Standard attention backward, recomputing probs (XLA ops; layout
-    conversions are acceptable off the inference hot path)."""
-    qkv, mask = residuals
+def _mha_qkv_bwd_kernel(qkv_ref, mask_ref, g_ref, dqkv_ref, *,
+                        n_heads: int):
+    """Flash-style backward: recompute probabilities in VMEM, emit
+    d(qkv) packed — same no-transpose / no-HBM-scores structure as the
+    forward (the XLA einsum backward re-materializes [B, H, L, L] score
+    tensors four times per layer)."""
+    blk = qkv_ref[0]                                # [L, 3D]
+    g = g_ref[0]                                    # [L, D]
+    D = blk.shape[-1] // 3
+    d = D // n_heads
+    scale = 1.0 / (d ** 0.5)
+    mask = mask_ref[...]
+    for h in range(n_heads):
+        q = blk[:, h * d:(h + 1) * d]
+        k = blk[:, D + h * d:D + (h + 1) * d]
+        v = blk[:, 2 * D + h * d:2 * D + (h + 1) * d]
+        gh = g[:, h * d:(h + 1) * d]
+        s = jnp.dot(q * scale, k.T,
+                    preferred_element_type=jnp.float32) + mask
+        p = jax.nn.softmax(s, axis=-1)              # fp32 [L, L]
+        pb = p.astype(v.dtype)
+        dv = jnp.dot(pb.T, gh, preferred_element_type=jnp.float32)
+        dp = jnp.dot(gh, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq = scale * jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        dk = scale * jnp.dot(dsb.T, q, preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(blk.dtype)
+        dqkv_ref[0, :, D + h * d:D + (h + 1) * d] = dk.astype(blk.dtype)
+        dqkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d] = \
+            dv.astype(blk.dtype)
+
+
+# Use the fused backward once the materialized score tensors would be
+# big (XLA's einsum backward re-streams [B, H, L, L] four times; the
+# kernel keeps them in VMEM). Below this the per-cell launch overhead
+# loses to XLA — measured crossover on v5e: XLA wins at 100x8x80^2
+# (5M elements), kernel wins 1.4x at 1000x8x80^2 and 2.1x at
+# 256x12x208^2 (docs/ROOFLINE.md methodology).
+_BWD_KERNEL_MIN_SCORE_ELEMS = 16_000_000
+
+
+def _xla_bwd(qkv, mask, g, n_heads):
+    """Einsum backward — faster at small shapes where scores fit cache."""
     B, L, D3 = qkv.shape
     D = D3 // 3
     d = D // n_heads
-    q, k, v = _split_heads(qkv, n_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
     scale = 1.0 / (d ** 0.5)
     s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                    preferred_element_type=jnp.float32)
     s = s + mask.astype(s.dtype)
     p = jax.nn.softmax(s, axis=-1)
-
-    gh = g.reshape(B, L, n_heads, d).transpose(0, 2, 1, 3).astype(
-        jnp.float32)
-    vf = v.astype(jnp.float32)
+    gh = heads(g).astype(jnp.float32)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, gh)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gh, vf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gh, v.astype(jnp.float32))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = scale * jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dk = scale * jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
 
     def merge(t):
         return t.transpose(0, 2, 1, 3).reshape(B, L, D)
 
-    dqkv = jnp.concatenate(
+    return jnp.concatenate(
         [merge(dq), merge(dk), merge(dv)], axis=-1).astype(qkv.dtype)
+
+
+def _bwd(n_heads, interpret, residuals, g):
+    qkv, mask = residuals
+    B, L, D3 = qkv.shape
+    if not interpret and B * n_heads * L * L < _BWD_KERNEL_MIN_SCORE_ELEMS:
+        return _xla_bwd(qkv, mask, g, n_heads), jnp.zeros_like(mask)
+    dqkv = pl.pallas_call(
+        functools.partial(_mha_qkv_bwd_kernel, n_heads=n_heads),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((L, L), lambda i: (0, 0)),
+            pl.BlockSpec((1, L, D3 // 3), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, D3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, D3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, mask, g.astype(qkv.dtype))
     return dqkv, jnp.zeros_like(mask)
 
 

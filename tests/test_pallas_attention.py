@@ -140,3 +140,19 @@ def test_transformer_pad_once_equivalence():
     want = unpadded(params["text"]["blocks"], x, 4, causal_mask(13))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bwd_small_shape_xla_path_matches_kernel():
+    """_bwd routes small shapes to the einsum backward (faster below the
+    measured crossover); both paths must produce the same gradients."""
+    from clip_calibration_tpu.ops import pallas_attention as PA
+    B, H, L, D = 2, 2, 32, 32
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (B, L, 3 * D),
+                            jnp.float32) * 0.3
+    g = jax.random.normal(jax.random.PRNGKey(6), (B, L, D),
+                          jnp.float32)
+    mask = causal_mask(L)
+    want = PA._xla_bwd(qkv, mask, g, H)
+    got, _ = PA._bwd(H, True, (qkv, mask), g)  # interpret -> kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
