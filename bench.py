@@ -145,8 +145,9 @@ def _train_step_throughput(batch: int = 32, n_cls: int = 100,
             body, (ctx, opt_state), jnp.arange(n))
         return ctx, opt_state, losses[-1]
 
+    # warm up the SAME n_iters program that gets timed (n is static)
     ctx, opt_state, loss = run(ctx, opt_state, params, embedding,
-                               eot_pos, images, labels, 2)
+                               eot_pos, images, labels, n_iters)
     float(loss)  # compile + warmup
     trials = []
     for _ in range(3):

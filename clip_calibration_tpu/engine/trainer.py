@@ -275,36 +275,49 @@ class TrainerX:
         self._models[name]["params"] = merge(params, loaded)
 
     def resume_model_if_exist(self, directory: str):
-        try:
-            import jax
-            resumed_epoch = 0
-            for name in self.get_model_names():
+        """All-or-nothing resume: every registered model's checkpoint is
+        loaded and validated BEFORE any is applied, so a missing or
+        truncated file (e.g. a run killed mid save_checkpoint — exactly
+        what auto-resume exists for) starts fresh instead of crashing or
+        silently resuming from a mixed state."""
+        import jax
+        loaded = []
+        for name in self.get_model_names():
+            try:
                 path = resolve_model_file(osp.join(directory, name))
                 ckpt = load_checkpoint(path)
                 state = ckpt["state_dict"]
-                state.pop("token_prefix", None)
-                state.pop("token_suffix", None)
-                self._set_params(name, state)
-                resumed_epoch = max(resumed_epoch, ckpt["epoch"])
-                # restore optimizer state (momentum + schedule position)
-                slot = self._models[name]
-                leaves = ckpt.get("opt_leaves")
-                if leaves is not None and slot.get("opt_state") is not None:
-                    cur_leaves, treedef = jax.tree.flatten(
-                        slot["opt_state"])
-                    if len(cur_leaves) == len(leaves):
-                        restored = [
-                            np.asarray(new).astype(np.asarray(old).dtype)
-                            for old, new in zip(cur_leaves, leaves)]
-                        slot["opt_state"] = jax.tree.unflatten(
-                            treedef, restored)
-                    else:
-                        print(f"optimizer state mismatch for {name}; "
-                              "keeping fresh state")
-            self.start_epoch = resumed_epoch
-            print(f"Resumed from {directory} (epoch {resumed_epoch})")
-        except FileNotFoundError:
-            print(f"No checkpoint to resume at {directory}")
+                epoch = ckpt["epoch"]
+            except FileNotFoundError:
+                print(f"No checkpoint to resume at {directory}")
+                return
+            except Exception as e:  # truncated/corrupt/alien file
+                print(f"Unusable checkpoint for {name!r} at {directory} "
+                      f"({type(e).__name__}: {e}); starting fresh")
+                return
+            loaded.append((name, state, epoch, ckpt.get("opt_leaves")))
+
+        resumed_epoch = 0
+        for name, state, epoch, leaves in loaded:
+            state.pop("token_prefix", None)
+            state.pop("token_suffix", None)
+            self._set_params(name, state)
+            resumed_epoch = max(resumed_epoch, epoch)
+            # restore optimizer state (momentum + schedule position)
+            slot = self._models[name]
+            if leaves is not None and slot.get("opt_state") is not None:
+                cur_leaves, treedef = jax.tree.flatten(slot["opt_state"])
+                if len(cur_leaves) == len(leaves):
+                    restored = [
+                        np.asarray(new).astype(np.asarray(old).dtype)
+                        for old, new in zip(cur_leaves, leaves)]
+                    slot["opt_state"] = jax.tree.unflatten(
+                        treedef, restored)
+                else:
+                    print(f"optimizer state mismatch for {name}; "
+                          "keeping fresh state")
+        self.start_epoch = resumed_epoch
+        print(f"Resumed from {directory} (epoch {resumed_epoch})")
 
     # -- misc ---------------------------------------------------------------
     def write_scalar(self, tag: str, value, step: int):

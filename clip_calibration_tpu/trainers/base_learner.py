@@ -228,6 +228,15 @@ class VLBaseLearner(TrainerX):
         GPU hop, ``distanse_aware_calibration.py:49-58``). Falls back to
         the numpy path whenever a base calibrator is composed or this
         trainer's logits are not plain cosine scores.
+
+        Numerics: the fused path recomputes logits from the returned
+        (bf16-rounded) features, while the trainer's in-jit logits come
+        from pre-rounding activations (XLA elides the convert round
+        trip) — so the two paths may disagree within bf16 rounding,
+        including argmax on near-tie samples. That is the same
+        equivalence class as the reference's fp16 GPU logits vs an fp32
+        rerun; exact parity holds in fp32 (MODEL.PRECISION="fp32",
+        asserted end-to-end by tests/test_golden_e2e.py).
         """
         if calibrator.dac_calibrator is not None and \
                 calibrator.base_calibrator is None:

@@ -111,8 +111,19 @@ class TempScaling(VLBaseLearner):
     def _cached_cos(self, batch):
         """Frozen-model cosine logits for the batch (cached per batch —
         the base model never changes during scaling); padded rows from
-        the sequential loader's final batch are sliced off."""
+        the sequential loader's final batch are sliced off.
+
+        Caching applies only when scaling trains on the sequential val
+        loader (the normal reference path, identical batches each epoch).
+        A dataset without a val split falls back to the SHUFFLED train
+        loader, whose batch keys change per epoch — there the cache would
+        grow unboundedly and never hit, so it is bypassed.
+        """
         n = batch["n_real"]
+        if self.train_loader_x is not self.val_loader:
+            images, labels = self.parse_batch_train(batch)
+            cos, _, _ = self._unit_logits(images)
+            return cos[:n], np.asarray(labels)[:n]
         key = tuple(batch["impath"])
         if key not in self._cos_cache:
             # bounded by construction: the seeded eval-order val loader

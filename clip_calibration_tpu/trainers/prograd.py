@@ -55,7 +55,8 @@ class ProGrad(CoOp):
         zs = encode_classnames_zs(self.cfg.MODEL.BACKBONE.NAME,
                                   self.cfg.DATASET.NAME,
                                   self.dm.dataset.classnames,
-                                  CUSTOM_TEMPLATES[self.cfg.DATASET.NAME])
+                                  CUSTOM_TEMPLATES[self.cfg.DATASET.NAME],
+                                  precision=self.cfg.MODEL.PRECISION)
         self._zs_text = jnp.asarray(zs, jnp.float32)
 
     def _losses(self, trainable, frozen, images, labels):

@@ -170,21 +170,33 @@ def test_prefetch_overlaps_and_preserves_order(tmp_path):
     assert first == second and len(first) == n // 8
 
     # (b) overlap: a consumer that sleeps as long as the producer should
-    # take ~max(producer, consumer), not their sum
-    t0 = time.perf_counter()
-    for _ in loader:
-        time.sleep(0.05)
-    elapsed = time.perf_counter() - t0
+    # take ~max(producer, consumer), not their sum. Run up to 3 attempts
+    # before failing — wall-clock assertions are scheduler-sensitive on
+    # loaded hosts, but genuine overlap passes the bound easily
+    # (expected ~0.55x of serial).
     serial = 2 * 0.05 * (n // 8)
-    assert elapsed < serial * 0.85, f"no overlap: {elapsed:.3f}s"
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        for _ in loader:
+            time.sleep(0.05)
+        elapsed = time.perf_counter() - t0
+        if elapsed < serial * 0.85:
+            break
+    else:
+        raise AssertionError(f"no overlap: {elapsed:.3f}s vs serial "
+                             f"{serial:.3f}s")
 
-    # (c) early break terminates the producer thread
+    # (c) early break terminates the producer thread (check by name —
+    # process-wide thread counts see unrelated executors)
     import threading
-    before = threading.active_count()
     for b in loader:
         break
-    time.sleep(0.5)
-    assert threading.active_count() <= before + 1
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(
+            t.name == "loader-prefetch" for t in threading.enumerate()):
+        time.sleep(0.05)
+    assert not any(t.name == "loader-prefetch"
+                   for t in threading.enumerate())
 
 
 def test_all_loaders_registered():

@@ -68,3 +68,43 @@ def test_xd_test_wrapper_skips_existing_dir(script_cwd):
                 ""], script_cwd)
     assert "Skip this job" in out
     assert not (d / "log.txt").exists()  # python never ran
+
+
+def test_resume_skips_corrupt_checkpoint(tmp_path):
+    """A run killed mid-save leaves a truncated checkpoint; auto-resume
+    must start fresh instead of crashing every subsequent rerun."""
+    import numpy as np
+    from clip_calibration_tpu.engine.trainer import TrainerX
+
+    t = TrainerX.__new__(TrainerX)
+    t._models = {"m": {"params": {"w": np.zeros(3)}, "opt": None,
+                       "opt_state": None, "step": 0}}
+    t.start_epoch = 0
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "model.pth.tar-3").write_bytes(b"truncated-garbage")
+    t.resume_model_if_exist(str(tmp_path))
+    assert t.start_epoch == 0  # fresh start, no exception
+
+
+def test_tempscaling_cache_bypassed_on_shuffled_loader():
+    """Datasets without a val split scale on the SHUFFLED train loader;
+    the per-batch logit cache must be bypassed there (its keys change
+    every epoch — caching would grow unboundedly and trip the bound
+    assert)."""
+    import numpy as np
+    from clip_calibration_tpu.trainers.calibration.tempscaling import (
+        TempScaling)
+
+    ts = TempScaling.__new__(TempScaling)
+    ts.train_loader_x = object()  # not the val loader
+    ts.val_loader = None
+    ts._cos_cache = {}
+    ts._fingerprint_checked = False
+    ts.parse_batch_train = lambda b: (b["img"], b["label"])
+    ts._unit_logits = lambda images: (
+        np.ones((2, 3), np.float32), None, None)
+    batch = {"img": 0, "label": np.array([0, 1]), "n_real": 2,
+             "impath": ["a", "b"]}
+    cos, labels = ts._cached_cos(batch)
+    assert cos.shape == (2, 3) and ts._cos_cache == {}
