@@ -6,11 +6,12 @@ features to a bias added to the shared context; every image then gets its
 own n_cls text encodes (``cocoop.py:156-199``).
 
 TPU-first: the reference loops per image in Python; here the per-image
-n_cls x 77-token text encode runs under ``jax.lax.map`` over the batch —
-on-device sequential over images (bounded memory: one [n_cls, 77, D]
-activation at a time) with the class dimension batched onto the MXU. For
-multi-chip, the class axis of each per-image encode shards over the
-"model" mesh axis (see parallel/mesh.py).
+n_cls x 77-token text encodes run under ``jax.lax.map`` over CHUNKS of
+images — each step feeds one (chunk * n_cls)-row batch to the text tower
+(~512 prompt rows: a single image's prompts underfill the MXU, all
+B * n_cls at once is an HBM spike at ImageNet scale). For multi-chip,
+the class axis of each encode shards over the "model" mesh axis (see
+parallel/mesh.py).
 """
 
 from __future__ import annotations
@@ -29,6 +30,9 @@ from ..models.backbone import load_clip_backbone
 from ..ops.preprocess import normalize_images
 from .base_learner import VLBaseLearner
 from .coop import build_prompt_assembly
+
+# prompt rows per text-tower step in the chunked per-image encode
+_CHUNK_TARGET_ROWS = 512
 
 
 def meta_net_forward(p, x):
@@ -107,22 +111,53 @@ class CoCoOp(VLBaseLearner):
 
         scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
 
-        def per_image(args):
-            ctx_i, imf_i = args
-            tiled = jnp.broadcast_to(
-                ctx_i.astype(emb.dtype)[None],
-                (emb.shape[0], n_ctx, emb.shape[-1]))
-            prompts = jnp.concatenate(
-                [emb[:, :1], tiled, emb[:, 1 + n_ctx:]], axis=1)
-            txt_f = M.encode_text_embedded(frozen, ccfg, prompts,
-                                           asm["eot_pos"])
-            txt_n = M.normalize(txt_f)
-            l_i = scale * jnp.dot(imf_i.astype(jnp.float32),
-                                  txt_n.astype(jnp.float32).T)
-            return l_i, txt_n
+        # Per-image text encodes (the CoCoOp blowup, reference
+        # cocoop.py:193-199 loops images on host). lax.map over CHUNKS of
+        # images, each chunk one (chunk * n_cls)-row text-tower batch:
+        # a single image's n_cls prompts underfill the MXU, while all
+        # B * n_cls at once is an HBM spike at ImageNet scale (n_cls
+        # 1000). ~512 prompt rows per step keeps both bounded; peak
+        # activation memory stays ~rows x 77 x width regardless of B.
+        B = ctx.shape[0]
+        n_cls = emb.shape[0]
+        chunk = max(1, min(B, _CHUNK_TARGET_ROWS // max(n_cls, 1)))
+        n_chunks = -(-B // chunk)
+        pad = n_chunks * chunk - B
+        ctx_p = jnp.concatenate(
+            [ctx, jnp.broadcast_to(ctx[-1:], (pad,) + ctx.shape[1:])]
+        ) if pad else ctx
+        imf_p = jnp.concatenate(
+            [img_f, jnp.broadcast_to(img_f[-1:],
+                                     (pad,) + img_f.shape[1:])]
+        ) if pad else img_f
 
-        logits, txt_all = jax.lax.map(per_image, (ctx, img_f))
-        return logits, img_f, txt_all[-1]
+        def per_chunk(args):
+            ctx_c, imf_c = args                     # [chunk, n_ctx, D]
+            tiled = jnp.broadcast_to(
+                ctx_c.astype(emb.dtype)[:, None],
+                (chunk, n_cls, n_ctx, emb.shape[-1]))
+            prompts = jnp.concatenate(
+                [jnp.broadcast_to(emb[None, :, :1],
+                                  (chunk,) + emb[:, :1].shape),
+                 tiled,
+                 jnp.broadcast_to(emb[None, :, 1 + n_ctx:],
+                                  (chunk,) + emb[:, 1 + n_ctx:].shape)],
+                axis=2).reshape(chunk * n_cls, emb.shape[1], -1)
+            eot = jnp.tile(asm["eot_pos"], chunk)
+            txt_f = M.encode_text_embedded(frozen, ccfg, prompts, eot)
+            txt_n = M.normalize(txt_f).reshape(chunk, n_cls, -1)
+            l_c = scale * jnp.einsum(
+                "cd,cnd->cn", imf_c.astype(jnp.float32),
+                txt_n.astype(jnp.float32))
+            return l_c, txt_n
+
+        logits, txt_all = jax.lax.map(
+            per_chunk,
+            (ctx_p.reshape(n_chunks, chunk, *ctx.shape[1:]),
+             imf_p.reshape(n_chunks, chunk, *img_f.shape[1:])))
+        logits = logits.reshape(n_chunks * chunk, n_cls)[:B]
+        txt_last = txt_all.reshape(n_chunks * chunk, n_cls, -1)[B - 1]
+        return logits, img_f, txt_last
 
     def _build_steps(self):
         def loss_fn(trainable, frozen, images, labels):

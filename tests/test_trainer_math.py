@@ -107,3 +107,48 @@ def test_kgcoop_regularizer_zero_when_aligned(rng):
     txt_n = normalize(jnp.asarray(zs)).astype(jnp.float32)
     score = 1.0 - jnp.mean(jnp.sum(txt_n * jnp.asarray(zs), axis=-1))
     assert float(score) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cocoop_chunked_forward_invariant_to_chunk_size(rng, tmp_path,
+                                                        monkeypatch):
+    """CoCoOp's chunked per-image text encode must produce identical
+    logits for any chunk size (incl. the padded final chunk)."""
+    import jax.numpy as jnp
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.base import set_random_seed
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.trainers  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+    from clip_calibration_tpu.trainers import cocoop as C
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.DATASET.SUBSAMPLE_CLASSES = "base"
+    cfg.SEED = 1
+    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.TEST.EVALUATOR = "VLClassification"
+    cfg.TRAINER.NAME = "CoCoOp"
+    cfg.TRAINER.COCOOP.N_CTX = 4
+    set_random_seed(1)
+    trainer = TRAINER_REGISTRY.get("CoCoOp")(cfg)
+
+    images = (rng.random((7, 32, 32, 3)) * 255).astype("uint8")
+    params = trainer._models["prompt_learner"]["params"]
+
+    outs = []
+    for rows in (1, 2 * len(trainer.dm.dataset.classnames) + 1, 10_000):
+        monkeypatch.setattr(C, "_CHUNK_TARGET_ROWS", rows)
+        # bypass the jitted cached step: call _forward directly
+        logits, img_f, txt_last = trainer._forward(
+            params, trainer.clip_params, jnp.asarray(images))
+        outs.append((np.asarray(logits), np.asarray(txt_last)))
+    for logits, txt_last in outs[1:]:
+        np.testing.assert_allclose(logits, outs[0][0], rtol=2e-3,
+                                   atol=2e-3)
+        np.testing.assert_allclose(txt_last, outs[0][1], rtol=2e-3,
+                                   atol=2e-3)
