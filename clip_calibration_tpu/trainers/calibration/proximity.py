@@ -31,9 +31,12 @@ def _knn_chunk(queries: jnp.ndarray, base: jnp.ndarray, k: int):
 def get_knn_dists(val_base_class_features, image_features_cur,
                   k_nns: int, chunk: int = 8192) -> np.ndarray:
     """[N_test, k] distances of test features to base-val features
-    (reference ``proximity.py:19-46``)."""
+    (reference ``proximity.py:19-46``). k is clamped to the base-set
+    size for tiny val sets (the reference's torch.topk would error
+    there; never reached under its experimental protocol)."""
     base = jnp.asarray(np.asarray(val_base_class_features, np.float32))
     cur = np.asarray(image_features_cur, np.float32)
+    k_nns = min(k_nns, base.shape[0])
     out = []
     for i in range(0, len(cur), chunk):
         out.append(np.asarray(_knn_chunk(jnp.asarray(cur[i:i + chunk]),
@@ -47,6 +50,8 @@ def get_val_image_knn_dists(image_features_cur, k_nns: int,
     (reference ``proximity.py:49-70``: top k+1 smallest, drop the first)."""
     feats = np.asarray(image_features_cur, np.float32)
     base = jnp.asarray(feats)
+    # k+1 neighbors include the sample itself; clamp for tiny val sets
+    k_nns = min(k_nns, len(feats) - 1)
     out = []
     for i in range(0, len(feats), chunk):
         d = np.asarray(_knn_chunk(jnp.asarray(feats[i:i + chunk]), base,

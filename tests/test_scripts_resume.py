@@ -108,3 +108,22 @@ def test_tempscaling_cache_bypassed_on_shuffled_loader():
              "impath": ["a", "b"]}
     cos, labels = ts._cached_cos(batch)
     assert cos.shape == (2, 3) and ts._cos_cache == {}
+
+
+def test_xd_zeroshot_wrapper_end_to_end(script_cwd):
+    """Cross-dataset eval flow: a base run fills the 'base' feature
+    cache (the reference hardcodes that subdir even for SUBSAMPLE=all
+    runs, base_learner.py:106-107), then the xd wrapper evaluates all
+    classes against it."""
+    data = str(script_cwd / "data")
+    # the xd wrapper takes no SHOTS argument (reference parity), so its
+    # cache lookup uses NUM_SHOTS=-1 — the base run must match
+    _run("classification/base2new_zeroshot_base.sh",
+         ["vit_test", "synthetic", data, "-1", "1", ""], script_cwd)
+    out = _run("classification/xd_zeroshot_test.sh",
+               ["vit_test", "synthetic", data, "1", ""], script_cwd)
+    assert "Run this job and save the output to" in out
+    log_dir = (script_cwd / "output/xd/xd_test/ZeroshotCLIP/vit_test/"
+               "synthetic/seed1")
+    log = (log_dir / "log.txt").read_text()
+    assert "=> result" in log
