@@ -9,6 +9,7 @@ xd test wrappers must skip entirely when their output dir exists.
 import os
 import os.path as osp
 import subprocess
+import sys
 
 import pytest
 
@@ -127,3 +128,30 @@ def test_xd_zeroshot_wrapper_end_to_end(script_cwd):
                "synthetic/seed1")
     log = (log_dir / "log.txt").read_text()
     assert "=> result" in log
+
+
+def test_interpret_prompt_cli(tmp_path):
+    """interpret_prompts utility: nearest vocabulary words for a learned
+    prompt checkpoint (reference interpret_prompts/interpret_prompt.py),
+    through the real CLI on a reference-format torch checkpoint."""
+    import subprocess
+
+    import numpy as np
+    import torch
+
+    ck = tmp_path / "model.pth.tar-3"
+    torch.save({"state_dict": {
+        "ctx": torch.randn(4, 64) * 0.02,
+        "compound_text": torch.randn(2, 4, 64) * 0.02,
+    }, "epoch": 3}, ck)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable,
+         osp.join(REPO, "interpret_prompts", "interpret_prompt.py"),
+         str(ck), "3", "--backbone", "ViT-Test"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "SHOWING RESULTS FOR: shallow ctx" in proc.stdout
+    assert "layer 1 (compound_text)" in proc.stdout
+    assert proc.stdout.count("1: [") >= 2  # word lists printed
