@@ -72,7 +72,7 @@ def main():
 
     res = cfg.image_resolution
     best = None
-    for batch in (256, 512):
+    for batch in (128, 256):
         images = (jax.random.uniform(
             jax.random.PRNGKey(1), (batch, res, res, 3)) * 255
         ).astype(jnp.uint8)
