@@ -157,3 +157,23 @@ def test_coop_trains_on_synthetic(tmp_path):
     finally:
         os.chdir(old)
         sys.stdout = sys.__stdout__
+
+
+def test_assembly_class_specific_context(clip_small):
+    """CSC (class-specific ctx [n_cls, n_ctx, D], reference coop.py
+    PromptLearner csc branch): each class gets its own context rows."""
+    params, cfg = clip_small
+    n_ctx = 4
+    asm = build_prompt_assembly(CLASSNAMES, n_ctx, "end", "", params,
+                                jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (len(CLASSNAMES), n_ctx,
+                             cfg.transformer_width))
+    got = np.asarray(assemble_prompts(ctx, asm))
+    emb = np.asarray(asm["embedding"], np.float32)
+    for c in range(len(CLASSNAMES)):
+        want_c = np.concatenate(
+            [emb[c:c + 1, :1],
+             np.asarray(ctx)[c][None],
+             emb[c:c + 1, 1 + n_ctx:]], axis=1)[0]
+        np.testing.assert_allclose(got[c], want_c, atol=1e-6)
