@@ -138,6 +138,16 @@ def main(args):
         base_name += "_procal"
     setup_logger(os.path.join(cfg.OUTPUT_DIR, base_name + ".txt"))
 
+    # system-info dump (reference train.py:344-345 collect_env_info)
+    import platform
+
+    import jax as _jax
+    print("** System info **")
+    print(f"python: {platform.python_version()}  "
+          f"jax: {_jax.__version__}  "
+          f"backend: {_jax.default_backend()}  "
+          f"devices: {[str(d) for d in _jax.devices()]}")
+
     # trainer swap for temperature scaling (reference train.py:331-339)
     if cfg.CALIBRATION.SCALING.IF_SCALING:
         cfg = cfg.clone()
