@@ -1,0 +1,157 @@
+"""Standalone batch-inference API — no dataset directory required.
+
+The training/eval stack (reference ``train.py`` flow) builds trainers
+through a DataManager, so even pure inference needs an on-disk dataset.
+For deployment that is the wrong shape: serving wants (weights,
+classnames) -> calibrated probabilities. ``Predictor`` provides exactly
+that on top of the same pure-function model stack:
+
+- zero-shot CLIP from a backbone name + classnames + template
+  (reference ``trainers/classification/zsclip.py:74-102`` semantics), or
+- a prompt-tuned model from a CoOp-family checkpoint
+  (``from_prompt_checkpoint``; reads the reference's torch
+  ``model.pth.tar-N`` files or this framework's npz checkpoints).
+
+Batches are padded to a fixed size so the jit-compiled encode never
+retraces; optional DAC class confidences run through the fused scoring
+kernel (``ops/scoring.py``). Images enter as uint8 NHWC at the model
+resolution — use ``data/transforms.build_transform`` (or any resize) for
+host-side geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import clip as M
+from .models.backbone import load_clip_backbone
+from .models.tokenizer import tokenize
+from .ops.preprocess import normalize_images
+from .ops.scoring import fused_dac_scores
+
+
+class Predictor:
+    """Batched calibrated image classification over fixed classnames."""
+
+    def __init__(self, backbone: str, classnames: Sequence[str],
+                 template: str = "a photo of a {}.",
+                 precision: str = "bf16", batch_size: int = 64,
+                 class_confidence: Optional[np.ndarray] = None,
+                 temperature: Optional[float] = None,
+                 _text_features: Optional[jnp.ndarray] = None):
+        self.classnames = list(classnames)
+        self.batch_size = int(batch_size)
+        self.params, self.cfg = load_clip_backbone(backbone)
+        self.dtype = (jnp.float32 if precision == "fp32"
+                      else jnp.bfloat16)
+
+        if _text_features is None:
+            prompts = [template.format(c.replace("_", " "))
+                       for c in self.classnames]
+            toks = tokenize(prompts)
+            _text_features = jax.jit(
+                lambda p, t: M.normalize(
+                    M.encode_text(p, self.cfg, t, dtype=self.dtype)))(
+                self.params, toks)
+        self.text_features = _text_features
+
+        # DAC per-class confidence (reference
+        # distanse_aware_calibration.py) and/or a fitted temperature
+        # (reference tempscaling.py): both post-hoc, both optional.
+        self.class_confidence = (
+            None if class_confidence is None
+            else jnp.asarray(class_confidence, jnp.float32))
+        self.temperature = temperature
+
+        dtype = self.dtype
+        cfg = self.cfg
+
+        @jax.jit
+        def encode(params, images):
+            x = normalize_images(images, dtype=dtype)
+            return M.normalize(M.encode_image(params, cfg, x,
+                                              dtype=dtype))
+
+        self._encode = encode
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_prompt_checkpoint(cls, backbone: str,
+                               classnames: Sequence[str],
+                               checkpoint_dir: str,
+                               n_ctx: int = 16, ctx_init: str = "",
+                               class_token_position: str = "end",
+                               epoch: Optional[int] = None,
+                               **kwargs) -> "Predictor":
+        """CoOp-family prompt-tuned predictor from a checkpoint dir laid
+        out like training output (``<dir>/prompt_learner/model.pth.tar-N``
+        torch or .npz)."""
+        from .engine.checkpoint import load_checkpoint, resolve_model_file
+        from .trainers.coop import assemble_prompts, build_prompt_assembly
+        import os.path as osp
+
+        self = cls(backbone, classnames,
+                   _text_features=jnp.zeros((0,)), **kwargs)
+        path = resolve_model_file(
+            osp.join(checkpoint_dir, "prompt_learner"), epoch)
+        state = load_checkpoint(path)["state_dict"]
+        state.pop("token_prefix", None)
+        state.pop("token_suffix", None)
+        ctx = jnp.asarray(np.asarray(state["ctx"], np.float32))
+        if ctx.shape[-2] != n_ctx and ctx.ndim >= 2:
+            n_ctx = ctx.shape[-2]
+
+        asm = build_prompt_assembly(self.classnames, n_ctx,
+                                    class_token_position, ctx_init,
+                                    self.params, self.dtype)
+        prompts = assemble_prompts(ctx, asm)
+        txt = jax.jit(lambda p, pr, eot: M.normalize(
+            M.encode_text_embedded(p, self.cfg, pr, eot)))(
+            self.params, prompts, asm["eot_pos"])
+        self.text_features = txt
+        return self
+
+    # -- inference ------------------------------------------------------------
+    def predict(self, images: np.ndarray) -> dict:
+        """images: uint8 [N, H, W, 3] at the model resolution.
+
+        Returns dict(probs [N, C] fp32, preds [N], confidences [N]).
+        """
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            raise ValueError("Predictor.predict expects uint8 images; "
+                             "apply host-side geometry first")
+        n = images.shape[0]
+        feats = []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            batch = images[i:i + bs]
+            if batch.shape[0] < bs:  # pad: static shapes, no retrace
+                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
+                batch = np.concatenate([batch, pad])
+            feats.append(np.asarray(
+                self._encode(self.params, jnp.asarray(batch)),
+                np.float32))
+        img_f = np.concatenate(feats)[:n]
+
+        scale = self.params["logit_scale"]
+        if self.temperature is not None:
+            # tempered logits: temperature REPLACES exp(logit_scale)
+            # (reference tempscaling.py ScaleLearner semantics)
+            scale = jnp.log(jnp.asarray(self.temperature, jnp.float32))
+        conf = self.class_confidence
+        if conf is None:
+            conf = jnp.ones((len(self.classnames),), jnp.float32)
+        probs, _ = fused_dac_scores(
+            jnp.asarray(img_f), self.text_features,
+            jnp.asarray(scale), conf, normalized=True)
+        probs = np.asarray(probs, np.float32)
+        preds = probs.argmax(axis=1)
+        return {"probs": probs, "preds": preds,
+                "confidences": probs.max(axis=1)}

@@ -1,0 +1,110 @@
+"""Standalone serving API: dataset-free calibrated inference.
+
+Validated against the reference-generated golden fixture: the Predictor
+built from the fixture's CoOp prompt checkpoint must reproduce the
+golden base-split accuracy, and zero-shot / DAC / temperature knobs must
+match the corresponding pipeline math.
+"""
+
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+FIX = osp.join(REPO, "tests", "fixtures", "golden_e2e")
+
+GOLDEN = json.load(open(osp.join(FIX, "golden.json")))
+CLASSNAMES = ["amber", "basalt", "cobalt", "dune"]
+BASE = CLASSNAMES[:2]
+
+
+@pytest.fixture(autouse=True)
+def _fixture_weights(monkeypatch):
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", osp.join(FIX, "weights"))
+    # the backbone cache keys on this env var (base_learner._zs_clip)
+
+
+def _test_images(classes):
+    """Fixture test-split images through the eval geometry (48 -> 32)."""
+    from PIL import Image
+    split = json.load(open(osp.join(
+        FIX, "data", "caltech-101", "split_zhou_Caltech101.json")))
+    img_root = osp.join(FIX, "data", "caltech-101",
+                        "101_ObjectCategories")
+    imgs, labels = [], []
+    relabel = {c: i for i, c in enumerate(sorted(classes))}
+    for rel, lab, _ in split["test"]:
+        if lab in classes:
+            img = Image.open(osp.join(img_root, rel)).convert("RGB")
+            img = img.resize((32, 32), Image.BICUBIC)
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(relabel[lab])
+    return np.stack(imgs), np.asarray(labels)
+
+
+def test_zero_shot_predictor_matches_golden_accuracy():
+    from clip_calibration_tpu.serving import Predictor
+
+    images, labels = _test_images({0, 1})
+    pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=8)
+    out = pred.predict(images)
+    acc = 100.0 * (out["preds"] == labels).mean()
+    assert acc == pytest.approx(GOLDEN["zsclip_base"]["accuracy"],
+                                abs=0.01)
+    assert out["probs"].shape == (len(labels), 2)
+    np.testing.assert_allclose(out["probs"].sum(1), 1.0, atol=1e-5)
+
+
+def test_prompt_checkpoint_predictor_matches_golden_accuracy():
+    from clip_calibration_tpu.serving import Predictor
+
+    images, labels = _test_images({0, 1})
+    pred = Predictor.from_prompt_checkpoint(
+        "ViT-Test", BASE, osp.join(FIX, "coop_model"),
+        n_ctx=4, precision="fp32", batch_size=8)
+    out = pred.predict(images)
+    acc = 100.0 * (out["preds"] == labels).mean()
+    assert acc == pytest.approx(GOLDEN["coop_base"]["accuracy"],
+                                abs=0.01)
+
+
+def test_dac_confidence_and_temperature_paths():
+    from clip_calibration_tpu.serving import Predictor
+
+    images, labels = _test_images({2, 3})
+    conf = np.asarray(GOLDEN["dac_class_confidence"])
+    new = CLASSNAMES[2:]
+    base_kwargs = dict(n_ctx=4, precision="fp32", batch_size=8)
+    plain = Predictor.from_prompt_checkpoint(
+        "ViT-Test", new, osp.join(FIX, "coop_model"), **base_kwargs)
+    dac = Predictor.from_prompt_checkpoint(
+        "ViT-Test", new, osp.join(FIX, "coop_model"),
+        class_confidence=conf, **base_kwargs)
+
+    p0 = plain.predict(images)["probs"]
+    p1 = dac.predict(images)["probs"]
+    # DAC row scaling is argmax-preserving (confidences > 0) but must
+    # change the probabilities when confidence != 1
+    np.testing.assert_array_equal(p0.argmax(1), p1.argmax(1))
+    assert not np.allclose(p0, p1)
+
+    # temperature replaces exp(logit_scale)
+    temp = Predictor.from_prompt_checkpoint(
+        "ViT-Test", new, osp.join(FIX, "coop_model"),
+        temperature=GOLDEN["tempscaling_temperature"], **base_kwargs)
+    p2 = temp.predict(images)["probs"]
+    assert not np.allclose(p0, p2)
+    np.testing.assert_array_equal(p0.argmax(1), p2.argmax(1))
+
+
+def test_rejects_float_images():
+    from clip_calibration_tpu.serving import Predictor
+
+    pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=4)
+    with pytest.raises(ValueError):
+        pred.predict(np.zeros((2, 32, 32, 3), np.float32))
