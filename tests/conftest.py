@@ -19,6 +19,16 @@ import jax  # noqa: E402
 # The axon TPU plugin overrides JAX_PLATFORMS; force CPU via config too.
 jax.config.update("jax_platforms", "cpu")
 
+# Share one persistent XLA compilation cache across the suite (incl. the
+# train.py subprocesses of the e2e tests, which inherit the env var):
+# the scripted sweeps re-compile identical tiny-ViT programs dozens of
+# times, which dominates suite wall time on small hosts.
+_cache_dir = os.path.expanduser("~/.cache/clip_calibration_tpu/xla")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -130,3 +130,20 @@ def test_zeroshotclip_variant_configs_present():
     for name in ("rn50", "vit_b16", "vit_b32", "vit_l14"):
         assert osp.exists(osp.join(d, name + ".yaml")), name
         assert osp.exists(osp.join(d, name + "_c0_ep0_batch0.yaml")), name
+
+
+def test_reference_configs_merge_cleanly():
+    """The REFERENCE repo's own yamls (when mounted) must merge into our
+    default tree — the strongest cheap probe that the config schema stays
+    drop-in compatible (reference train.py:278-299 merge order)."""
+    import glob
+    import os.path as osp
+    import pytest
+    ref = "/root/reference/configs"
+    if not osp.isdir(ref):
+        pytest.skip("reference repo not mounted")
+    paths = glob.glob(osp.join(ref, "**", "*.yaml"), recursive=True)
+    assert len(paths) > 50
+    for path in paths:
+        cfg = get_cfg_default()
+        cfg.merge_from_file(path)

@@ -13,6 +13,15 @@ import argparse
 import json
 import os
 
+# Honor JAX_PLATFORMS=cpu BEFORE any jax device use: the axon TPU plugin
+# ignores the env var, so a config update is required (same workaround as
+# tests/conftest.py / __graft_entry__.py). Without this, CPU-targeted
+# subprocess runs (the e2e test suite) silently grab the TPU tunnel.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from clip_calibration_tpu.config import get_cfg_default
 from clip_calibration_tpu.data.base import set_random_seed
 from clip_calibration_tpu.engine.registry import build_trainer
@@ -116,13 +125,20 @@ def main(args):
     set_attention_impl({"auto": "auto", "always": "pallas",
                         "never": "xla"}[cfg.TPU.USE_PALLAS])
 
-    # persistent XLA compilation cache (first TPU compile is 20-40s)
+    # persistent XLA compilation cache (first TPU compile is 20-40s).
+    # Env vars win so a parent process (e.g. the test suite's conftest)
+    # can point every spawned run at one shared cache.
     try:
         import jax
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/clip_calibration_tpu/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/clip_calibration_tpu/xla")))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 1)))
     except Exception as e:  # older jax without the knobs
         print(f"compilation cache unavailable: {e}")
 
