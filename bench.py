@@ -77,7 +77,11 @@ def main():
             jax.random.PRNGKey(1), (batch, res, res, 3)) * 255
         ).astype(jnp.uint8)
         images = jax.device_put(images, dev)
-        int(chained(params, images, 2))  # compile + warmup
+        # warm up the SAME n=N_ITERS program that gets timed (n is a
+        # static argname, so a different n is a different executable and
+        # trial 1 would otherwise pay the 20-40s compile — inflating the
+        # published spread minimum)
+        int(chained(params, images, N_ITERS))
         trials = []
         for _ in range(N_TRIALS):
             t0 = time.perf_counter()

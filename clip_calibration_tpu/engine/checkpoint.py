@@ -106,21 +106,34 @@ def _load_torch(fpath: str) -> Dict[str, Any]:
 
 
 def resolve_model_file(directory: str, epoch: Optional[int] = None,
-                       model_name: str = "model") -> str:
+                       model_name: str = "model",
+                       latest: bool = False) -> str:
     """Pick model-best or model.pth.tar-<epoch> (reference
-    ``coop.py:312-343`` semantics)."""
+    ``coop.py:312-343`` semantics).
+
+    ``latest=True`` skips the model-best preference and returns the
+    highest-epoch periodic checkpoint — the resume semantics (Dassl's
+    ``resume_from_checkpoint`` picks the last epoch): resuming a
+    best_val run from model-best would silently rewind past epochs
+    trained after the best-val snapshot.
+    """
     if epoch is not None:
         path = osp.join(directory, f"{model_name}.pth.tar-{epoch}")
         if not osp.exists(path):
             raise FileNotFoundError(f'Checkpoint not found at "{path}"')
         return path
     best = osp.join(directory, f"{model_name}-best.pth.tar")
-    if osp.exists(best):
+    if not latest and osp.exists(best):
         return best
     # fall back to the highest-epoch file
     cands = [f for f in os.listdir(directory)
              if f.startswith(f"{model_name}.pth.tar-")]
     if not cands:
+        if latest and osp.exists(best):
+            # no periodic checkpoint yet (best_val run with
+            # CHECKPOINT_FREQ=0 killed before the final epoch): resuming
+            # from the best-val snapshot recovers partial progress
+            return best
         raise FileNotFoundError(
             f"No checkpoint under {directory!r} for {model_name!r}")
     cands.sort(key=lambda f: int(f.rsplit("-", 1)[1]))

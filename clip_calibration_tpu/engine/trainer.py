@@ -57,6 +57,13 @@ class TrainerX:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        if cfg.MODEL.PRECISION not in ("bf16", "fp32"):
+            # every consumer uses 'fp32 if x == "fp32" else bf16', so a
+            # typo ('fp16', 'FP32', 'float32') would silently mean bf16
+            # and the fp32 golden-parity guarantee would never engage
+            raise ValueError(
+                f"MODEL.PRECISION must be 'bf16' or 'fp32', got "
+                f"{cfg.MODEL.PRECISION!r}")
         self.check_cfg(cfg)
         self.start_epoch = self.epoch = 0
         self.max_epoch = cfg.OPTIM.MAX_EPOCH
@@ -284,7 +291,8 @@ class TrainerX:
         loaded = []
         for name in self.get_model_names():
             try:
-                path = resolve_model_file(osp.join(directory, name))
+                path = resolve_model_file(osp.join(directory, name),
+                                          latest=True)
                 ckpt = load_checkpoint(path)
                 state = ckpt["state_dict"]
                 epoch = ckpt["epoch"]

@@ -128,6 +128,11 @@ class Predictor:
             raise ValueError("Predictor.predict expects uint8 images; "
                              "apply host-side geometry first")
         n = images.shape[0]
+        if n == 0:  # upstream filters can legitimately drop every image
+            n_cls = len(self.classnames)
+            return {"probs": np.zeros((0, n_cls), np.float32),
+                    "preds": np.zeros((0,), np.int64),
+                    "confidences": np.zeros((0,), np.float32)}
         feats = []
         bs = self.batch_size
         for i in range(0, n, bs):

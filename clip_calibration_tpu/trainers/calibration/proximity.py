@@ -52,6 +52,13 @@ def get_val_image_knn_dists(image_features_cur, k_nns: int,
     base = jnp.asarray(feats)
     # k+1 neighbors include the sample itself; clamp for tiny val sets
     k_nns = min(k_nns, len(feats) - 1)
+    if k_nns < 1:
+        # a 1-sample val set has no neighbors at all; a silent clamp to
+        # zero columns would propagate NaN proximities into the
+        # calibrator fit downstream
+        raise ValueError(
+            "val set too small for image-KNN proximity: need >= 2 "
+            f"samples, got {len(feats)}")
     out = []
     for i in range(0, len(feats), chunk):
         d = np.asarray(_knn_chunk(jnp.asarray(feats[i:i + chunk]), base,

@@ -128,19 +128,22 @@ class TempScaling(VLBaseLearner):
         if key not in self._cos_cache:
             # bounded by construction: the seeded eval-order val loader
             # replays identical batches each epoch, so the cache holds at
-            # most one epoch of batches — assert rather than assume
-            assert len(self._cos_cache) < len(self.train_loader_x), (
-                "TempScaling logit cache grew past one epoch — the val "
-                "loader order is expected to be deterministic")
+            # most one epoch of batches — a real exception (not assert:
+            # the contract must survive python -O)
+            if len(self._cos_cache) >= len(self.train_loader_x):
+                raise RuntimeError(
+                    "TempScaling logit cache grew past one epoch — the "
+                    "val loader order is expected to be deterministic")
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
             self._cos_cache[key] = (cos[:n], np.asarray(labels)[:n])
         elif not self._fingerprint_checked:
             # first cache hit of the run: the base model must not have
             # trained since build (cached logits would silently go stale)
-            assert self._fingerprint_base() == self._base_fingerprint, (
-                "base model parameters changed after TempScaling build; "
-                "cached cosine logits are stale")
+            if self._fingerprint_base() != self._base_fingerprint:
+                raise RuntimeError(
+                    "base model parameters changed after TempScaling "
+                    "build; cached cosine logits are stale")
             self._fingerprint_checked = True
         return self._cos_cache[key]
 

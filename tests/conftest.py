@@ -7,17 +7,15 @@ bench.py and the driver's compile checks.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell presets axon (TPU)
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
+# Force the CPU platform + 8 virtual devices (the axon TPU plugin ignores
+# JAX_PLATFORMS, and the shell presets it; see tools/platform.py).
+from clip_calibration_tpu.tools.platform import force_cpu_platform  # noqa: E402
 
-# The axon TPU plugin overrides JAX_PLATFORMS; force CPU via config too.
-jax.config.update("jax_platforms", "cpu")
+jax = force_cpu_platform(n_devices=8)
 
 # Share one persistent XLA compilation cache across the suite (incl. the
 # train.py subprocesses of the e2e tests, which inherit the env var):

@@ -224,3 +224,16 @@ def test_vl_calibration_facade(rng):
     cal.fit()
     out_p = cal.predict(test_logits, test_prox)
     np.testing.assert_allclose(out_p.sum(1), 1.0, atol=1e-8)
+
+
+def test_val_self_knn_rejects_single_sample():
+    """A 1-sample val set has zero neighbors; must raise, not emit NaN
+    proximities into the calibrator fit."""
+    import numpy as np
+    import pytest
+
+    from clip_calibration_tpu.trainers.calibration.proximity import (
+        get_val_image_knn_dists)
+
+    with pytest.raises(ValueError, match="val set too small"):
+        get_val_image_knn_dists(np.ones((1, 8), np.float32), k_nns=5)

@@ -124,3 +124,50 @@ def test_coop_csc_assembly():
         np.testing.assert_allclose(out[c, 1:5],
                                    np.asarray(ctx[c], np.float32),
                                    atol=1e-6)
+
+
+def test_resume_prefers_latest_epoch_over_model_best(tmp_path):
+    """Auto-resume must pick the highest-epoch periodic checkpoint, not
+    model-best: a best_val run whose best epoch is old would otherwise
+    silently rewind and retrain completed epochs."""
+    from clip_calibration_tpu.engine.checkpoint import (
+        resolve_model_file, save_checkpoint)
+    from clip_calibration_tpu.engine.trainer import TrainerX
+    import jax.numpy as jnp
+
+    d = tmp_path / "prompt_learner"
+    save_checkpoint(
+        {"state_dict": {"ctx": np.full((4, 8), 7.0, np.float32)},
+         "epoch": 7},
+        str(d), 7, is_best=True)
+    save_checkpoint(
+        {"state_dict": {"ctx": np.full((4, 8), 40.0, np.float32)},
+         "epoch": 40},
+        str(d), 40)
+
+    # load_model (deploy) still prefers model-best...
+    assert resolve_model_file(str(d)).endswith("model-best.pth.tar")
+    # ...but resume takes the latest periodic file
+    assert resolve_model_file(str(d), latest=True).endswith(
+        "model.pth.tar-40")
+
+    t = TrainerX.__new__(TrainerX)
+    t._models = {}
+    t.start_epoch = 0
+    t.register_model("prompt_learner",
+                     {"ctx": jnp.zeros((4, 8), jnp.float32)})
+    t.resume_model_if_exist(str(tmp_path))
+    assert t.start_epoch == 40
+    np.testing.assert_allclose(
+        np.asarray(t._models["prompt_learner"]["params"]["ctx"]), 40.0)
+
+    # best-only dir (CHECKPOINT_FREQ=0 run killed early): resume falls
+    # back to the best snapshot instead of starting from scratch
+    d2 = tmp_path / "only_best" / "prompt_learner"
+    save_checkpoint(
+        {"state_dict": {"ctx": np.full((4, 8), 3.0, np.float32)},
+         "epoch": 3},
+        str(d2), 3, is_best=True)
+    os.remove(str(d2 / "model.pth.tar-3"))
+    assert resolve_model_file(str(d2), latest=True).endswith(
+        "model-best.pth.tar")

@@ -108,3 +108,15 @@ def test_rejects_float_images():
     pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=4)
     with pytest.raises(ValueError):
         pred.predict(np.zeros((2, 32, 32, 3), np.float32))
+
+
+def test_empty_batch_returns_empty_result():
+    """Upstream filters can drop every image; predict must return empty
+    arrays instead of crashing in np.concatenate."""
+    from clip_calibration_tpu.serving import Predictor
+
+    pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=8)
+    out = pred.predict(np.zeros((0, 32, 32, 3), np.uint8))
+    assert out["probs"].shape == (0, len(BASE))
+    assert out["preds"].shape == (0,)
+    assert out["confidences"].shape == (0,)

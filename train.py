@@ -14,13 +14,13 @@ import json
 import os
 
 # Honor JAX_PLATFORMS=cpu BEFORE any jax device use: the axon TPU plugin
-# ignores the env var, so a config update is required (same workaround as
-# tests/conftest.py / __graft_entry__.py). Without this, CPU-targeted
-# subprocess runs (the e2e test suite) silently grab the TPU tunnel.
-if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-    import jax
+# ignores the env var alone. Without this, CPU-targeted subprocess runs
+# (the e2e test suite) silently grab the TPU tunnel.
+from clip_calibration_tpu.tools.platform import (cpu_platform_requested,
+                                                 force_cpu_platform)
 
-    jax.config.update("jax_platforms", "cpu")
+if cpu_platform_requested():
+    force_cpu_platform()
 
 from clip_calibration_tpu.config import get_cfg_default
 from clip_calibration_tpu.data.base import set_random_seed
