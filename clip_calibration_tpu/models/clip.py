@@ -216,6 +216,7 @@ def transformer(
     deep_prompts: Optional[jnp.ndarray] = None,
     deep_prompt_depth: int = 0,
     text_side: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Scan the stacked residual blocks over x [B, L, D].
 
@@ -223,6 +224,16 @@ def transformer(
     [1, deep_prompt_depth) splices prompt row i-1 into the sequence before
     attention (layer 0 never splices: the shallow prompt is already in x).
     ``deep_prompt_depth`` is static so XLA sees fixed control flow.
+
+    remat: rematerialize each layer in the backward pass
+    (``jax.checkpoint`` on the scan body — the canonical scan-of-remat
+    pattern). Off, the scan stashes every layer's attention/MLP
+    intermediates for backward, which is the right trade for the normal
+    small-batch prompt-tuning steps; on, only the layer inputs survive
+    the forward, bounding backward HBM at the big class/prompt fan-outs
+    (ProDA's n_cls*P prompt batch, CoCoOp's image-conditioned per-class
+    encodes — [2000, 80] token batches at ImageNet scale) at the cost of
+    one extra forward.
 
     The token axis is padded ONCE here to the bf16 sublane multiple (16)
     for the whole tower — the fused attention kernel then needs no
@@ -277,7 +288,8 @@ def transformer(
             deep_prompts.astype(x.dtype)[:rows])
 
     idxs = jnp.arange(n_layers)
-    out, _ = jax.lax.scan(body, x, (blocks, prompts, idxs))
+    body_fn = jax.checkpoint(body) if remat else body
+    out, _ = jax.lax.scan(body_fn, x, (blocks, prompts, idxs))
     return out[:, :L] if Lp != L else out
 
 
@@ -299,18 +311,22 @@ def encode_text_embedded(
     *,
     deep_prompts: Optional[jnp.ndarray] = None,
     deep_prompt_depth: int = 0,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
     path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
 
     eot_pos: [N] index of the EOT token per row (pooling position).
+    remat: see ``transformer`` — use for gradient passes over big
+    class/prompt fan-outs.
     """
     tp = params["text"]
     x = x + tp["positional_embedding"].astype(x.dtype)
     mask = causal_mask(cfg.context_length)
     x = transformer(tp["blocks"], x, cfg.transformer_heads, mask,
                     deep_prompts=deep_prompts,
-                    deep_prompt_depth=deep_prompt_depth, text_side=True)
+                    deep_prompt_depth=deep_prompt_depth, text_side=True,
+                    remat=remat)
     x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
     return jnp.dot(pooled, tp["text_projection"].astype(pooled.dtype))

@@ -151,8 +151,14 @@ class CoCoOp(VLBaseLearner):
                 txt_n.astype(jnp.float32))
             return l_c, txt_n
 
+        # at scale, checkpoint each chunk: the outer map's backward would
+        # otherwise stash every chunk's text-tower intermediates —
+        # B * n_cls rows' worth, the very spike the chunking bounds in
+        # the forward. With remat only the per-chunk inputs survive.
+        chunk_fn = (jax.checkpoint(per_chunk)
+                    if B * n_cls >= _CHUNK_TARGET_ROWS else per_chunk)
         logits, txt_all = jax.lax.map(
-            per_chunk,
+            chunk_fn,
             (ctx_p.reshape(n_chunks, chunk, *ctx.shape[1:]),
              imf_p.reshape(n_chunks, chunk, *img_f.shape[1:])))
         logits = logits.reshape(n_chunks * chunk, n_cls)[:B]

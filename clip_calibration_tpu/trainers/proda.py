@@ -35,6 +35,11 @@ from ..ops.preprocess import normalize_images
 from .base_learner import VLBaseLearner
 from .coop import build_prompt_assembly
 
+# text-tower rows above which the prompt fan-out encodes with per-layer
+# rematerialization (backward memory ~ layer inputs, +1 forward of cost);
+# below it the reference-protocol shapes fit comfortably without remat
+_REMAT_MIN_TEXT_ROWS = 512
+
 
 @TRAINER_REGISTRY.register()
 class ProDA(VLBaseLearner):
@@ -119,12 +124,20 @@ class ProDA(VLBaseLearner):
         return prompts.transpose(1, 0, 2, 3)  # [n_cls, P, 77, D]
 
     def _text_features_all(self, ctx_batch, pos_batch, frozen):
-        """[n_cls, P, E] normalized text features."""
+        """[n_cls, P, E] normalized text features.
+
+        The n_cls*P fan-out is the HBM hot spot of ProDA training
+        (ImageNet base: 500*4 = 2000 77-token rows through the text
+        tower, backward included); above the threshold the tower
+        rematerializes per layer so backward memory stays bounded by the
+        layer inputs instead of every layer's intermediates."""
         prompts = self._assemble(ctx_batch, pos_batch)
         n_cls, P, L, D = prompts.shape
         flat = prompts.reshape(n_cls * P, L, D)
         eot = jnp.repeat(self.eot_pos, P)
-        txt = M.encode_text_embedded(frozen, self.clip_cfg, flat, eot)
+        txt = M.encode_text_embedded(
+            frozen, self.clip_cfg, flat, eot,
+            remat=n_cls * P >= _REMAT_MIN_TEXT_ROWS)
         return M.normalize(txt).reshape(n_cls, P, -1)
 
     # -- steps ------------------------------------------------------------------

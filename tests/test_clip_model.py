@@ -205,3 +205,26 @@ def test_rn50_preset_init_runs():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 224, 224, 3))
     out = modified_resnet_forward(visual, cfg, x)
     assert out.shape == (1, 1024)
+
+
+def test_remat_text_encode_matches_plain_gradients():
+    """remat=True must change memory behavior only: outputs and
+    gradients (w.r.t. the prompt embeddings) identical to the plain
+    scan, fp32."""
+    cfg = M.PRESETS["ViT-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    n, L, D = 6, cfg.context_length, cfg.transformer_width
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, L, D),
+                          jnp.float32) * 0.02
+    eot = jnp.full((n,), 5, jnp.int32)
+
+    def loss(x, remat):
+        f = M.encode_text_embedded(params, cfg, x, eot, remat=remat)
+        return jnp.sum(f ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda x: loss(x, False))(x)
+    v1, g1 = jax.value_and_grad(lambda x: loss(x, True))(x)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
