@@ -37,16 +37,28 @@ from .ops.scoring import fused_dac_scores
 
 
 class Predictor:
-    """Batched calibrated image classification over fixed classnames."""
+    """Batched calibrated image classification over fixed classnames.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
+    encode then runs SPMD with the image batch sharded over the axis and
+    the weights replicated (XLA inserts the collectives). ``batch_size``
+    is rounded up to a multiple of the axis size so every shard gets
+    identical shapes.
+    """
 
     def __init__(self, backbone: str, classnames: Sequence[str],
                  template: str = "a photo of a {}.",
                  precision: str = "bf16", batch_size: int = 64,
                  class_confidence: Optional[np.ndarray] = None,
                  temperature: Optional[float] = None,
+                 mesh=None,
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            self.batch_size = -(-self.batch_size // n_data) * n_data
         self.params, self.cfg = load_clip_backbone(backbone)
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
@@ -72,13 +84,22 @@ class Predictor:
         dtype = self.dtype
         cfg = self.cfg
 
-        @jax.jit
         def encode(params, images):
             x = normalize_images(images, dtype=dtype)
             return M.normalize(M.encode_image(params, cfg, x,
                                               dtype=dtype))
 
-        self._encode = encode
+        if mesh is None:
+            self._encode = jax.jit(encode)
+        else:
+            from .parallel.mesh import data_sharding, replicated
+
+            repl = replicated(mesh)
+            self.params = jax.device_put(self.params, repl)
+            self._batch_sharding = data_sharding(mesh)
+            self._encode = jax.jit(
+                encode, in_shardings=(repl, self._batch_sharding),
+                out_shardings=repl)
 
     # -- constructors -------------------------------------------------------
     @classmethod

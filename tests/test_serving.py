@@ -120,3 +120,28 @@ def test_empty_batch_returns_empty_result():
     assert out["probs"].shape == (0, len(BASE))
     assert out["preds"].shape == (0,)
     assert out["confidences"].shape == (0,)
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """SPMD serving: batch sharded over the mesh 'data' axis must
+    reproduce single-device probabilities (weights replicated, XLA
+    collectives only)."""
+    import jax
+
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.serving import Predictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    mesh = make_mesh((8, 1), ("data", "model"))
+
+    images, _ = _test_images({0, 1})
+    single = Predictor("ViT-Test", BASE, precision="fp32", batch_size=8)
+    sharded = Predictor("ViT-Test", BASE, precision="fp32", batch_size=6,
+                        mesh=mesh)
+    assert sharded.batch_size == 8  # rounded up to the data-axis size
+    out_s = single.predict(images)
+    out_m = sharded.predict(images)
+    np.testing.assert_allclose(out_m["probs"], out_s["probs"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
