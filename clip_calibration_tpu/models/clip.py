@@ -312,6 +312,7 @@ def encode_text_embedded(
     deep_prompts: Optional[jnp.ndarray] = None,
     deep_prompt_depth: int = 0,
     remat: bool = False,
+    seq_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
     path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
@@ -319,10 +320,19 @@ def encode_text_embedded(
     eot_pos: [N] index of the EOT token per row (pooling position).
     remat: see ``transformer`` — use for gradient passes over big
     class/prompt fan-outs.
+    seq_len: static sequence truncation (> max(eot_pos)). The text mask
+      is causal, so positions <= EOT depend only on positions before
+      them — tokens past the longest EOT are mathematically irrelevant
+      to the pooled feature, yet the reference always runs all 77
+      (``clip/model.py:598-613``). Prompt class sets typically pool at
+      position ~20-30, so truncation cuts the text tower's work ~2.5x
+      exactly. None keeps the full length.
     """
     tp = params["text"]
-    x = x + tp["positional_embedding"].astype(x.dtype)
-    mask = causal_mask(cfg.context_length)
+    if seq_len is not None and seq_len < x.shape[1]:
+        x = x[:, :seq_len]
+    x = x + tp["positional_embedding"][:x.shape[1]].astype(x.dtype)
+    mask = causal_mask(x.shape[1])
     x = transformer(tp["blocks"], x, cfg.transformer_heads, mask,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=True,
@@ -332,9 +342,20 @@ def encode_text_embedded(
     return jnp.dot(pooled, tp["text_projection"].astype(pooled.dtype))
 
 
+def eot_seq_len(eot_pos) -> int:
+    """Static truncation length for ``seq_len=``: one past the furthest
+    EOT pooling position. Call host-side (concrete eot positions)."""
+    import numpy as np
+    return int(np.max(np.asarray(eot_pos))) + 1
+
+
 def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,
-                dtype=jnp.bfloat16) -> jnp.ndarray:
+                dtype=jnp.bfloat16, seq_len: Optional[int] = None
+                ) -> jnp.ndarray:
     """Raw-token text encode (reference ``clip/model.py:598-613``)."""
+    if seq_len is not None and seq_len < tokens.shape[1]:
+        # EOT is the max token id, so truncation past it preserves argmax
+        tokens = tokens[:, :seq_len]
     x = embed_tokens(params, tokens, dtype)
     eot_pos = jnp.argmax(tokens, axis=-1)
     return encode_text_embedded(params, cfg, x, eot_pos)

@@ -67,9 +67,11 @@ class Predictor:
             prompts = [template.format(c.replace("_", " "))
                        for c in self.classnames]
             toks = tokenize(prompts)
+            seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
             _text_features = jax.jit(
                 lambda p, t: M.normalize(
-                    M.encode_text(p, self.cfg, t, dtype=self.dtype)))(
+                    M.encode_text(p, self.cfg, t, dtype=self.dtype,
+                                  seq_len=seq)))(
                 self.params, toks)
         self.text_features = _text_features
 
@@ -133,7 +135,8 @@ class Predictor:
                                     self.params, self.dtype)
         prompts = assemble_prompts(ctx, asm)
         txt = jax.jit(lambda p, pr, eot: M.normalize(
-            M.encode_text_embedded(p, self.cfg, pr, eot)))(
+            M.encode_text_embedded(p, self.cfg, pr, eot,
+                                   seq_len=asm["seq_len"])))(
             self.params, prompts, asm["eot_pos"])
         self.text_features = txt
         return self

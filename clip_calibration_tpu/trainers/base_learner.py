@@ -84,8 +84,10 @@ def encode_classnames_zs(backbone_name: str, dataset_name: str,
     temp = template or build_clip_templates(dataset_name)
     prompts = [temp.format(c.replace("_", " ")) for c in classnames]
     toks = tokenize(prompts)
+    seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
     feats = jax.jit(lambda p, t: M.normalize(
-        M.encode_text(p, ccfg, t, dtype=dtype)))(params, toks)
+        M.encode_text(p, ccfg, t, dtype=dtype, seq_len=seq)))(
+        params, toks)
     return np.asarray(feats, np.float32)
 
 

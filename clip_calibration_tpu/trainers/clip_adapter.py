@@ -53,9 +53,10 @@ class CLIP_Adapter(VLBaseLearner):
                    for name in classnames]
         toks = tokenize(prompts)
         ccfg = self.clip_cfg
+        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
         self.text_features = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t))(self.clip_params,
-                                                    jnp.asarray(toks))
+            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
+                self.clip_params, jnp.asarray(toks))
 
         dim = ccfg.embed_dim
         k1, k2 = jax.random.split(jax.random.PRNGKey(max(cfg.SEED, 0)))

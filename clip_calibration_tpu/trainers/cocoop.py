@@ -144,7 +144,8 @@ class CoCoOp(VLBaseLearner):
                                   (chunk,) + emb[:, 1 + n_ctx:].shape)],
                 axis=2).reshape(chunk * n_cls, emb.shape[1], -1)
             eot = jnp.tile(asm["eot_pos"], chunk)
-            txt_f = M.encode_text_embedded(frozen, ccfg, prompts, eot)
+            txt_f = M.encode_text_embedded(frozen, ccfg, prompts, eot,
+                                           seq_len=asm["seq_len"])
             txt_n = M.normalize(txt_f).reshape(chunk, n_cls, -1)
             l_c = scale * jnp.einsum(
                 "cd,cnd->cn", imf_c.astype(jnp.float32),

@@ -122,6 +122,9 @@ def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
         "embedding": jnp.asarray(embedding, compute_dtype),
         "tokenized": jnp.asarray(tokenized),
         "eot_pos": jnp.asarray(tokenized.argmax(-1)),
+        # static truncation: causal mask => positions past the furthest
+        # EOT never reach the pooled feature (models/clip.py::eot_seq_len)
+        "seq_len": int(tokenized.argmax(-1).max()) + 1,
         "ctx_idx": jnp.asarray(ctx_idx),
         "const_mask": jnp.asarray(const_mask),
         "ctx_vectors": ctx_vectors,
@@ -219,7 +222,8 @@ class CoOp(VLBaseLearner):
     def _text_features(self, frozen, trainable):
         prompts = assemble_prompts(trainable["ctx"], self.asm)
         return M.encode_text_embedded(frozen, self.clip_cfg, prompts,
-                                      self.asm["eot_pos"])
+                                      self.asm["eot_pos"],
+                                      seq_len=self.asm["seq_len"])
 
     def _image_features(self, frozen, images):
         x = normalize_images(images, dtype=self.compute_dtype)

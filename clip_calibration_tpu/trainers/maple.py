@@ -112,7 +112,8 @@ class MaPLe(VLBaseLearner):
         depth = self.depth if deep_text is not None else 0
         txt_f = M.encode_text_embedded(
             frozen, self.clip_cfg, prompts, self.asm["eot_pos"],
-            deep_prompts=deep_text, deep_prompt_depth=depth)
+            deep_prompts=deep_text, deep_prompt_depth=depth,
+            seq_len=self.asm["seq_len"])
         x = normalize_images(images, dtype=self.compute_dtype)
         img_f = M.encode_image(
             frozen, self.clip_cfg, x, shallow_prompts=shallow_vis,

@@ -72,6 +72,7 @@ class ProDA(VLBaseLearner):
         self.ctx_idx = jnp.stack([a["ctx_idx"] for a in asms])
         self.const_mask = jnp.stack([a["const_mask"] for a in asms])
         self.eot_pos = asms[0]["eot_pos"]
+        self.seq_len = max(a["seq_len"] for a in asms)
         self.n_ctx = n_ctx
         print("Initializing a generic context")
         print(f"Number of prompts : {self.n_prompt}")
@@ -137,7 +138,8 @@ class ProDA(VLBaseLearner):
         eot = jnp.repeat(self.eot_pos, P)
         txt = M.encode_text_embedded(
             frozen, self.clip_cfg, flat, eot,
-            remat=n_cls * P >= _REMAT_MIN_TEXT_ROWS)
+            remat=n_cls * P >= _REMAT_MIN_TEXT_ROWS,
+            seq_len=self.seq_len)
         return M.normalize(txt).reshape(n_cls, P, -1)
 
     # -- steps ------------------------------------------------------------------
@@ -190,7 +192,8 @@ class ProDA(VLBaseLearner):
                  nc[:, 1 + self.n_ctx:]], axis=1)
             nc_eots = jnp.full((n_prompt,), self.nc_eot, jnp.int32)
             nc_f = M.normalize(M.encode_text_embedded(
-                frozen, self.clip_cfg, nc, nc_eots)).astype(jnp.float32)
+                frozen, self.clip_cfg, nc, nc_eots,
+                seq_len=self.nc_eot + 1)).astype(jnp.float32)
             gram = jnp.dot(nc_f, nc_f.T)
             off = 1.0 - jnp.eye(n_prompt)
             loss_m = (jnp.abs(gram) * off).sum() / off.sum()

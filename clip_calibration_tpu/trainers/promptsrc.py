@@ -85,14 +85,17 @@ class PromptSRC(VLBaseLearner):
         # frozen teacher: per-class mean zs text features over the
         # template ensemble + frozen image encode (promptsrc.py:117-129)
         ccfg = self.clip_cfg
-        encode = jax.jit(lambda p, t: M.encode_text(p, ccfg, t))
-        feats = []
-        for template in IMAGENET_TEMPLATES:
-            prompts = [template.replace("{}", n.replace("_", " "))
-                       for n in classnames]
-            feats.append(np.asarray(
-                encode(self.clip_params, jnp.asarray(tokenize(prompts))),
-                np.float32))
+        all_toks = [tokenize([template.replace("{}", n.replace("_", " "))
+                              for n in classnames])
+                    for template in IMAGENET_TEMPLATES]
+        # one static truncation length across templates: a single
+        # compiled shape, ~2.5x less text-tower work (models/clip.py)
+        seq = max(M.eot_seq_len(np.asarray(t).argmax(-1))
+                  for t in all_toks)
+        encode = jax.jit(
+            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
+        feats = [np.asarray(encode(self.clip_params, jnp.asarray(t)),
+                            np.float32) for t in all_toks]
         self.fixed_embeddings = jnp.asarray(
             np.mean(np.stack(feats, axis=1), axis=1))
 
@@ -133,7 +136,8 @@ class PromptSRC(VLBaseLearner):
         txt_f = M.encode_text_embedded(
             frozen, self.clip_cfg, prompts, self.asm["eot_pos"],
             deep_prompts=trainable.get("deep_text"),
-            deep_prompt_depth=self.depth_text)
+            deep_prompt_depth=self.depth_text,
+            seq_len=self.asm["seq_len"])
         x = normalize_images(images, dtype=self.compute_dtype)
         img_f = M.encode_image(
             frozen, self.clip_cfg, x,

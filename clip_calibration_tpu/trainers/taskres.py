@@ -66,12 +66,15 @@ class TaskRes(VLBaseLearner):
         templates += [CUSTOM_TEMPLATES[cfg.DATASET.NAME]]
 
         ccfg = self.clip_cfg
-        encode = jax.jit(lambda p, t: M.encode_text(p, ccfg, t))
-        feats = []
-        for name in classnames:
-            toks = tokenize([t.format(name) for t in templates])
-            feats.append(np.asarray(encode(params, jnp.asarray(toks)),
-                                    np.float32).mean(axis=0))
+        all_toks = [tokenize([t.format(name) for t in templates])
+                    for name in classnames]
+        # shared static truncation across classes -> one compiled shape
+        seq = max(M.eot_seq_len(np.asarray(t).argmax(-1))
+                  for t in all_toks)
+        encode = jax.jit(
+            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
+        feats = [np.asarray(encode(params, jnp.asarray(t)),
+                            np.float32).mean(axis=0) for t in all_toks]
         self.base_text_features = jnp.asarray(np.stack(feats))
 
         trainable = {"residual": jnp.zeros_like(self.base_text_features)}

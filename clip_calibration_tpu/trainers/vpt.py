@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..engine.optim import build_optimizer
@@ -57,9 +58,11 @@ class VPT(VLBaseLearner):
         prompts = ["a photo of a " + n.replace("_", " ") + "."
                    for n in classnames]
         ccfg = self.clip_cfg
+        toks = tokenize(prompts)
+        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
         self.text_features = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t))(
-                self.clip_params, jnp.asarray(tokenize(prompts)))
+            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
+                self.clip_params, jnp.asarray(toks))
 
         vw = ccfg.vision_width
         k1, k2 = jax.random.split(jax.random.PRNGKey(max(cfg.SEED, 0)))

@@ -43,9 +43,11 @@ class ZeroshotCLIP(VLBaseLearner):
         dtype = (jnp.float32 if cfg.MODEL.PRECISION == "fp32"
                  else jnp.bfloat16)
         ccfg = self.clip_cfg
+        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
         text_features = jax.jit(
             lambda p, t: M.normalize(M.encode_text(p, ccfg, t,
-                                                   dtype=dtype)))(
+                                                   dtype=dtype,
+                                                   seq_len=seq)))(
                 self.clip_params, toks)
         self.text_features = text_features
 
