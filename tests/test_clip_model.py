@@ -228,3 +228,41 @@ def test_remat_text_encode_matches_plain_gradients():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_eot_truncation_exact(golden, converted):
+    """seq_len truncation must be mathematically exact, not approximate:
+    the causal mask means positions <= EOT never attend past themselves,
+    so encoding over seq_len = max(eot)+1 gives the same pooled feature
+    as the full 77-position run (fp32; gradients too)."""
+    params, cfg = converted
+    toks = jnp.asarray(golden["toks"])
+    seq = M.eot_seq_len(np.asarray(golden["toks"]).argmax(-1))
+    assert seq < cfg.context_length  # the fixture must actually truncate
+
+    full = M.encode_text(params, cfg, toks, dtype=jnp.float32)
+    trunc = M.encode_text(params, cfg, toks, dtype=jnp.float32,
+                          seq_len=seq)
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+
+    # embedded path + gradient w.r.t. the prompt embeddings
+    x = M.embed_tokens(params, toks, jnp.float32)
+    eot = jnp.argmax(toks, axis=-1)
+
+    def loss(x, seq_len):
+        f = M.encode_text_embedded(params, cfg, x, eot, seq_len=seq_len)
+        return jnp.sum(f ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda x: loss(x, None))(x)
+    v1, g1 = jax.value_and_grad(lambda x: loss(x, seq))(x)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+    # grads past the truncation point are exactly zero in the full run
+    # too (those positions feed nothing the pooling reads); compare the
+    # live part. Different static shapes -> different XLA fusion order,
+    # so allow fp32 reduction-order noise.
+    np.testing.assert_allclose(np.asarray(g1)[:, :seq],
+                               np.asarray(g0)[:, :seq],
+                               rtol=1e-4, atol=1e-4)
+    # and the dead tail of the full-length grad really is zero
+    np.testing.assert_array_equal(np.asarray(g0)[:, seq:], 0.0)
