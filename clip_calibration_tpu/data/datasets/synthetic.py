@@ -25,6 +25,26 @@ CLASSNAMES = ["red swirl", "green checker", "blue wave", "yellow dot",
               "purple stripe", "orange grid", "cyan blob", "magenta ring",
               "white noise", "dark cross"]
 
+_ADJ = ["pale", "bright", "faded", "deep", "dotted", "striped", "soft",
+        "sharp", "coarse", "fine"]
+
+
+def _dims():
+    """Dataset size, overridable via env for scale benchmarking
+    (e.g. CC_SYNTH_CLASSES=100 CC_SYNTH_TRAIN=64 python train.py ...).
+    Defaults match the test fixtures; different sizes use different
+    cache dirs so fixtures never collide."""
+    return (int(os.environ.get("CC_SYNTH_CLASSES", N_CLASSES)),
+            int(os.environ.get("CC_SYNTH_TRAIN", N_TRAIN)),
+            int(os.environ.get("CC_SYNTH_VAL", N_VAL)),
+            int(os.environ.get("CC_SYNTH_TEST", N_TEST)))
+
+
+def _classname(c: int) -> str:
+    base = CLASSNAMES[c % len(CLASSNAMES)]
+    return base if c < len(CLASSNAMES) else \
+        f"{_ADJ[(c // len(CLASSNAMES)) % len(_ADJ)]} {base} {c}"
+
 
 def _render(class_idx: int, sample_idx: int) -> np.ndarray:
     """Deterministic class pattern + per-sample jitter, uint8 HWC."""
@@ -49,17 +69,21 @@ class Synthetic(StandardDataset):
     def __init__(self, cfg):
         root = cfg.DATASET.ROOT or os.path.join(
             os.path.expanduser("~"), ".cache", "clip_calibration_tpu")
-        self.dataset_dir = os.path.join(os.path.abspath(root),
-                                        type(self).dataset_dir)
+        self.n_classes, self.n_train, self.n_val, self.n_test = _dims()
+        subdir = type(self).dataset_dir
+        if _dims() != (N_CLASSES, N_TRAIN, N_VAL, N_TEST):
+            subdir += "_{}x{}_{}_{}".format(*_dims())
+        self.dataset_dir = os.path.join(os.path.abspath(root), subdir)
         self.image_dir = os.path.join(self.dataset_dir, "images")
         self.split_fewshot_dir = os.path.join(self.dataset_dir,
                                               "split_fewshot")
         mkdir_if_missing(self.split_fewshot_dir)
 
         self._materialize()
-        train = self._items("train", N_TRAIN, 0)
-        val = self._items("val", N_VAL, N_TRAIN)
-        test = self._items("test", N_TEST, N_TRAIN + N_VAL)
+        train = self._items("train", self.n_train, 0)
+        val = self._items("val", self.n_val, self.n_train)
+        test = self._items("test", self.n_test,
+                           self.n_train + self.n_val)
         self.finalize(cfg, train, val, test)
 
     def _materialize(self):
@@ -68,8 +92,8 @@ class Synthetic(StandardDataset):
         if os.path.exists(done_marker):
             return
         mkdir_if_missing(self.image_dir)
-        total = N_TRAIN + N_VAL + N_TEST
-        for c in range(N_CLASSES):
+        total = self.n_train + self.n_val + self.n_test
+        for c in range(self.n_classes):
             cdir = os.path.join(self.image_dir, f"class_{c:02d}")
             mkdir_if_missing(cdir)
             for s in range(total):
@@ -81,10 +105,10 @@ class Synthetic(StandardDataset):
 
     def _items(self, split, count, offset):
         items = []
-        for c in range(N_CLASSES):
+        for c in range(self.n_classes):
             cdir = os.path.join(self.image_dir, f"class_{c:02d}")
             for s in range(offset, offset + count):
                 items.append(Datum(
                     impath=os.path.join(cdir, f"img_{s:03d}.png"),
-                    label=c, classname=CLASSNAMES[c]))
+                    label=c, classname=_classname(c)))
         return items

@@ -34,17 +34,37 @@ from ..engine.registry import build_evaluator
 
 
 class MetricMeter:
-    """Running averages for loss printing (Dassl MetricMeter look)."""
+    """Running averages for loss printing (Dassl MetricMeter look).
+
+    Accepts device scalars and keeps them UNFETCHED until printed: a
+    per-step ``float(loss)`` would block the host on every train step
+    (one tunnel round-trip each), serializing dispatch with execution.
+    Trainers return the raw jax scalar; at print time the pending values
+    are stacked on device and fetched in one transfer per metric, so the
+    dispatch queue stays several steps ahead of the device between
+    prints (``TRAIN.PRINT_FREQ``)."""
 
     def __init__(self, delimiter: str = " "):
         self.meters = defaultdict(lambda: deque(maxlen=100))
         self.delimiter = delimiter
 
-    def update(self, metrics: Dict[str, float]):
+    def update(self, metrics: Dict[str, Any]):
         for k, v in metrics.items():
-            self.meters[k].append(float(v))
+            self.meters[k].append(v)
+
+    def _materialize(self):
+        import jax.numpy as jnp
+        for name, vals in self.meters.items():
+            if all(type(v) is float for v in vals):
+                continue
+            stacked = jnp.stack(
+                [jnp.squeeze(jnp.asarray(v)) for v in vals])
+            self.meters[name] = deque(
+                (float(x) for x in np.asarray(stacked, np.float64)),
+                maxlen=100)
 
     def __str__(self):
+        self._materialize()
         parts = []
         for name, vals in self.meters.items():
             avg = sum(vals) / len(vals)
@@ -93,7 +113,10 @@ class TrainerX:
     def build_model(self):
         raise NotImplementedError
 
-    def forward_backward(self, batch) -> Dict[str, float]:
+    def forward_backward(self, batch) -> Dict[str, Any]:
+        """Returns loss metrics; values may be device scalars — keep
+        them unfetched (MetricMeter materializes lazily) so the step
+        dispatch never blocks on a host round-trip."""
         raise NotImplementedError
 
     def model_inference(self, images):
@@ -141,8 +164,28 @@ class TrainerX:
     def before_epoch(self):
         self.train_loader_x.set_epoch(self.epoch)
 
+    def _device_staged(self, loader):
+        """One-batch-ahead host->device staging (the prefetch_to_device
+        pattern): batch N+1's transfer is issued before step N's results
+        are consumed, so the copy engine overlaps the device compute
+        instead of stalling the execution stream between steps. Trainers'
+        ``put_batch`` then sees an already-placed jax.Array and passes it
+        through. Depth 1 is enough — the host loader already prefetches
+        decode/transform one batch ahead (data/loader.py)."""
+        staged_prev = None
+        for batch in loader:
+            staged = dict(batch)
+            staged["img"] = self.put_batch(batch["img"])
+            staged["label"] = self.put_batch(batch["label"])
+            if staged_prev is not None:
+                yield staged_prev
+            staged_prev = staged
+        if staged_prev is not None:
+            yield staged_prev
+
     def run_epoch(self):
         meter = MetricMeter()
+        epoch_start = time.time()
         self.num_batches = len(self.train_loader_x)
         profile_dir = self.cfg.TPU.PROFILE_DIR
         profiling = bool(profile_dir) and self.epoch == 0
@@ -152,7 +195,8 @@ class TrainerX:
                   f"to {profile_dir}")
             jax.profiler.start_trace(profile_dir)
         end = time.time()
-        for self.batch_idx, batch in enumerate(self.train_loader_x):
+        for self.batch_idx, batch in enumerate(
+                self._device_staged(self.train_loader_x)):
             data_time = time.time() - end
             loss_summary = self.forward_backward(batch)
             batch_time = time.time() - end
@@ -177,6 +221,15 @@ class TrainerX:
         if profiling:  # epoch shorter than PROFILE_STEPS
             import jax
             jax.profiler.stop_trace()
+        # honest throughput: per-step prints exclude the lazy loss-fetch
+        # drain, so wall/steps is the number to trust (first epoch also
+        # carries the jit compile)
+        dt = time.time() - epoch_start
+        n = max(self.num_batches, 1)
+        print(f"epoch [{self.epoch + 1}/{self.max_epoch}] done in "
+              f"{dt:.1f}s ({dt / n * 1e3:.1f} ms/step, "
+              f"{n * self.cfg.DATALOADER.TRAIN_X.BATCH_SIZE / dt:.0f} "
+              f"img/s)")
 
     def after_epoch(self):
         last_epoch = (self.epoch + 1) == self.max_epoch
@@ -358,9 +411,12 @@ class TrainerX:
     def put_batch(self, array):
         """Device-put a [B, ...] host array, sharded over the data axis
         when a mesh is active (jit then propagates the sharding — XLA
-        runs the step SPMD with no further annotations)."""
+        runs the step SPMD with no further annotations). Arrays already
+        placed by ``_device_staged`` pass through untouched."""
         import jax
         import jax.numpy as jnp
+        if isinstance(array, jax.Array):
+            return array
         mesh = self.mesh
         if mesh is None:
             return jnp.asarray(array)

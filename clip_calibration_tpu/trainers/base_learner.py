@@ -131,17 +131,31 @@ class VLBaseLearner(TrainerX):
 
     # -- inference loop -------------------------------------------------------
     def _run_inference(self, data_loader):
-        """Returns (logits, labels, image_features, text_features)."""
+        """Returns (logits, labels, image_features, text_features).
+
+        Pipelined one deep: batch N+1's inference is dispatched (with
+        its input transfer staged by ``_device_staged``) before batch
+        N's outputs are fetched, so the per-batch D2H sync overlaps the
+        next batch's compute instead of stalling the device."""
         logits_all, labels_all, img_f_all = [], [], []
         text_features = None
-        for batch in data_loader:
-            images, labels = self.parse_batch_test(batch)
-            output, img_f, txt_f = self.model_inference(images)
-            n = batch["n_real"]
+        pending = None
+
+        def collect(p):
+            (output, img_f, txt_f), n, labels = p
             logits_all.append(np.asarray(output, np.float32)[:n])
             img_f_all.append(np.asarray(img_f, np.float32)[:n])
             labels_all.append(np.asarray(labels)[:n])
-            text_features = txt_f
+            return txt_f
+
+        for batch in self._device_staged(data_loader):
+            images, labels = self.parse_batch_test(batch)
+            out = self.model_inference(images)  # async dispatch
+            if pending is not None:
+                text_features = collect(pending)
+            pending = (out, batch["n_real"], labels)
+        if pending is not None:
+            text_features = collect(pending)
         return (np.concatenate(logits_all), np.concatenate(labels_all),
                 np.concatenate(img_f_all),
                 np.asarray(text_features, np.float32))

@@ -98,7 +98,7 @@ class ParameterizedTempScaling(TempScaling):
         slot["params"], slot["opt_state"], loss = self._scale_step(
             slot["params"], slot["opt_state"], jnp.asarray(cos),
             jnp.asarray(labels))
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     def model_inference(self, images):
         cos, img_f, txt_f = self._unit_logits(images)

@@ -153,9 +153,10 @@ class TempScaling(VLBaseLearner):
         slot["params"], slot["opt_state"], loss = self._scale_step(
             slot["params"], slot["opt_state"], jnp.asarray(cos),
             jnp.asarray(labels))
-        return {"loss": float(loss),
-                "temperature": float(np.exp(
-                    np.asarray(slot["params"]["scale"])))}
+        # device scalars — MetricMeter fetches lazily at print time
+        return {"loss": loss,
+                "temperature": jnp.exp(
+                    jnp.squeeze(slot["params"]["scale"]))}
 
     # -- eval ---------------------------------------------------------------
     def model_inference(self, images):

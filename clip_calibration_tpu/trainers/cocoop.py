@@ -193,7 +193,7 @@ class CoCoOp(VLBaseLearner):
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
             self.put_batch(images), self.put_batch(labels))
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],

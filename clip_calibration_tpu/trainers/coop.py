@@ -277,7 +277,7 @@ class CoOp(VLBaseLearner):
             slot["params"], slot["opt_state"], self.clip_params,
             self.put_batch(images), self.put_batch(labels))
         self._cached_text_features = None  # ctx changed
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     # -- eval ---------------------------------------------------------------
     def model_inference(self, images):

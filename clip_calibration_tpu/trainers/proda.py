@@ -259,7 +259,7 @@ class ProDA(VLBaseLearner):
             slot["params"], slot["opt_state"], self.clip_params,
             self.put_batch(images), self.put_batch(labels), batch_idx)
         self.text_features = None  # classifier stale
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     # -- eval ---------------------------------------------------------------
     def set_classifier(self):

@@ -203,7 +203,7 @@ class PromptSRC(VLBaseLearner):
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
             self.put_batch(images), self.put_batch(labels))
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     def after_epoch(self):
         # Gaussian prompt aggregation across epochs

@@ -126,7 +126,7 @@ class TaskRes(VLBaseLearner):
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
             self.put_batch(images), self.put_batch(labels))
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     def checkpoint_dir_aliases(self, name):
         # the reference registers TaskResLearner under "prompt_learner"

@@ -123,7 +123,7 @@ class VPT(VLBaseLearner):
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.clip_params,
             self.text_features, self.put_batch(images), self.put_batch(labels))
-        return {"loss": float(loss)}
+        return {"loss": loss}
 
     def model_inference(self, images):
         return self._infer_step(self._models["vpt_prompts"]["params"],

@@ -65,8 +65,10 @@ class ZeroshotCLIP(VLBaseLearner):
         self._infer = infer
 
     def model_inference(self, images):
+        if not isinstance(images, jax.Array):  # staged eval inputs pass
+            images = np.ascontiguousarray(images)
         return self._infer(self.clip_params, self.text_features,
-                           self.put_batch(np.ascontiguousarray(images)))
+                           self.put_batch(images))
 
     def train(self):
         """Zero-shot: nothing to train; run the test pipeline."""

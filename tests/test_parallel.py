@@ -110,8 +110,8 @@ def test_trainer_data_parallel_matches_single_device(tmp_path):
     t_single._mesh = None  # force single-device path
 
     batch = next(iter(t_mesh.train_loader_x))
-    loss_m = t_mesh.forward_backward(batch)["loss"]
-    loss_s = t_single.forward_backward(batch)["loss"]
+    loss_m = float(t_mesh.forward_backward(batch)["loss"])
+    loss_s = float(t_single.forward_backward(batch)["loss"])
     assert loss_m == pytest.approx(loss_s, rel=2e-5)
 
     logits_m, _, _ = t_mesh.model_inference(batch["img"])
