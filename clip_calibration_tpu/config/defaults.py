@@ -267,6 +267,7 @@ def get_cfg_default() -> CN:
     cfg.TPU = CN()
     cfg.TPU.MESH_SHAPE = ()          # () = all devices on one data axis
     cfg.TPU.MESH_AXES = ("data", "model")  # consumed by mesh_from_cfg
+    cfg.TPU.DISTRIBUTED = False      # multi-host pod: jax.distributed init
     cfg.TPU.USE_PALLAS = "auto"      # auto | always | never (attention)
     cfg.TPU.PROFILE_DIR = ""         # jax.profiler trace output dir
     cfg.TPU.PROFILE_STEPS = 20       # steps of epoch 0 to trace

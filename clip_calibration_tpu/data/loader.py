@@ -60,6 +60,12 @@ class DataLoader:
         self.seed = seed
         self.pad_partial = pad_partial
         self.epoch = 0
+        # multi-host: every host iterates the SAME global epoch order and
+        # batch boundaries (seeded shuffle is process-independent) but
+        # decodes only its own slice of each global batch; ``n_real``
+        # stays the GLOBAL real-row count so the evaluator can trim the
+        # allgathered outputs. Set by DataManager on pod runs.
+        self.rank, self.world = 0, 1
 
     def __len__(self):
         n = len(self.data_source)
@@ -84,11 +90,17 @@ class DataLoader:
         bs = self.batch_size
         chunk = idxs[b * bs:(b + 1) * bs]
         items = [self.data_source[i] for i in chunk]
+        n_real = len(items)
+        if self.world > 1:
+            if n_real < bs:  # static shapes on every host
+                items = items + [items[-1]] * (bs - n_real)
+            pb = bs // self.world
+            items = items[self.rank * pb:(self.rank + 1) * pb]
         imgs = list(pool.map(
             lambda it: self.transform(_load_image(it.impath)), items))
         labels = np.asarray([it.label for it in items], np.int32)
-        n_real = len(items)
-        if not self.is_train and self.pad_partial and n_real < bs:
+        if self.world == 1 and not self.is_train and self.pad_partial \
+                and n_real < bs:
             pad = bs - n_real
             imgs = imgs + [imgs[-1]] * pad
             labels = np.concatenate(
@@ -170,6 +182,21 @@ class DataManager:
         self.test_loader = DataLoader(
             self.dataset.test, cfg.DATALOADER.TEST.BATCH_SIZE,
             tfm_test, is_train=False, num_workers=nw, seed=seed)
+
+        # pod runs: each host decodes its slice of every global batch
+        import jax
+        world = jax.process_count()
+        if world > 1:
+            rank = jax.process_index()
+            for ld in (self.train_loader_x, self.val_loader,
+                       self.test_loader):
+                if ld is None:
+                    continue
+                if ld.batch_size % world:
+                    raise ValueError(
+                        f"batch size {ld.batch_size} not divisible by "
+                        f"{world} hosts")
+                ld.rank, ld.world = rank, world
 
     @property
     def num_classes(self):

@@ -423,10 +423,14 @@ class TrainerX:
         import numpy as np
         arr = np.asarray(array)
         n_data = mesh.shape["data"]
-        if arr.shape[0] % n_data != 0:
+        nproc = jax.process_count()
+        # multi-host: the loader delivers this host's slice of the
+        # global batch (data/loader.py); global rows = local * nproc
+        if (arr.shape[0] * nproc) % n_data != 0:
             return jnp.asarray(array)  # indivisible batch: single-device
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(arr, NamedSharding(mesh, P("data")))
+        from ..parallel.mesh import put_global
+        return put_global(arr, NamedSharding(mesh, P("data")))
 
     def parse_batch_test(self, batch):
         return batch["img"], batch["label"]

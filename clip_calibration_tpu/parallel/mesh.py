@@ -22,6 +22,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed() -> int:
+    """Multi-host (pod) runtime init. Call ONCE, before any device
+    query, on every host of the pod (``train.py`` does when
+    ``TPU.DISTRIBUTED`` is set). On TPU pods ``jax.distributed
+    .initialize`` auto-discovers the coordinator from the TPU metadata;
+    after it, ``jax.devices()`` spans the whole pod and a single Mesh
+    over it makes every ``pjit`` step pod-SPMD. Returns process count.
+    """
+    import os
+    kwargs = {}
+    if os.environ.get("CC_COORD_ADDR"):
+        # explicit cluster spec (non-TPU platforms — e.g. the CPU
+        # cluster the multi-host test spins up; TPU pods and
+        # Slurm/MPI launchers are auto-detected with no args)
+        kwargs = dict(
+            coordinator_address=os.environ["CC_COORD_ADDR"],
+            num_processes=int(os.environ["CC_NUM_PROCS"]),
+            process_id=int(os.environ["CC_PROC_ID"]))
+    try:
+        # NOTE: must run before ANY backend query — even
+        # jax.process_count() initializes the XLA client
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        # single-process run without a coordinator, or already
+        # initialized: stay with whatever the runtime has
+        print(f"jax.distributed.initialize unavailable ({e}); "
+              f"continuing single-process")
+    return jax.process_count()
+
+
 def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
               axis_names: Sequence[str] = ("data", "model"),
               devices=None) -> Mesh:
@@ -29,13 +59,37 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
 
     Default: all devices on the data axis, model axis size 1. A 2-axis
     shape like (4, 2) gives DP x class-parallel.
+
+    Single-host meshes use XLA's topology-aware device ordering
+    (``mesh_utils.create_device_mesh``) so neighboring mesh coordinates
+    are ICI neighbors. Multi-host meshes put the slow DCN hops on the
+    FIRST (data) axis and keep ICI inside the remaining axes
+    (``create_hybrid_device_mesh``) — data-parallel gradients cross DCN
+    once per step while the class/model-axis collectives ride ICI.
     """
-    devices = devices if devices is not None else jax.devices()
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     if not mesh_shape or tuple(mesh_shape) == ():
         mesh_shape = (n,) + (1,) * (len(axis_names) - 1)
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
+    if not explicit:
+        try:
+            from jax.experimental import mesh_utils
+            nproc = jax.process_count()
+            if nproc > 1 and mesh_shape[0] % nproc == 0:
+                per_host = (mesh_shape[0] // nproc,) + tuple(
+                    mesh_shape[1:])
+                arr = mesh_utils.create_hybrid_device_mesh(
+                    per_host, (nproc,) + (1,) * (len(mesh_shape) - 1),
+                    devices=devices)
+            else:
+                arr = mesh_utils.create_device_mesh(
+                    tuple(mesh_shape), devices=devices)
+            return Mesh(arr, tuple(axis_names[:arr.ndim]))
+        except Exception:  # virtual/CPU platforms: plain row-major
+            pass
     arr = np.asarray(devices).reshape(mesh_shape)
     return Mesh(arr, tuple(axis_names[:arr.ndim]))
 
@@ -64,3 +118,17 @@ def shard_batch(batch_arrays, mesh: Mesh):
     """Device-put host batch arrays with batch-axis sharding."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch_arrays)
+
+
+def put_global(array, sharding: NamedSharding):
+    """Place a batch on a (possibly multi-host) mesh.
+
+    Single-process: a plain sharded ``device_put``. Multi-host: the
+    caller holds only this host's slice of the global batch (the loader
+    slices per host, data/loader.py) and the global jax.Array is
+    assembled from per-process shards — each host's slice lands on its
+    local devices, no cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_process_local_data(sharding, array)

@@ -1,0 +1,94 @@
+"""Multi-host (pod) path: 2-process CPU cluster end-to-end.
+
+No reference counterpart (the reference is single-GPU,
+``nn.DataParallel`` only — SURVEY.md §2.9); this validates the
+TPU-pod plumbing: ``jax.distributed`` init via ``TPU.DISTRIBUTED``,
+hybrid mesh construction, per-host batch slicing in the loader
+(``data/loader.py``), global-array assembly in ``put_batch``
+(``parallel/mesh.py::put_global``) and the allgathered eval pipeline
+(``trainers/base_learner.py::_run_inference``).
+
+The gate: a 2-process ZeroshotCLIP eval must reproduce the
+single-process ``=> result`` block byte-for-byte on every rank.
+"""
+
+import os
+import os.path as osp
+import re
+import socket
+import subprocess
+import sys
+
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env(extra):
+    env = dict(os.environ)
+    # CPU-only subprocesses: drop the axon TPU plugin from PYTHONPATH
+    # (it ignores JAX_PLATFORMS; train.py's force_cpu_platform handles
+    # the in-process side but plugin discovery is import-time)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("CC_COORD_ADDR", None)
+    env.update(extra)
+    return env
+
+
+def _run_zs(cwd, root, out_dir, extra_env, extra_opts=()):
+    args = [sys.executable, osp.join(REPO, "train.py"),
+            "--trainer", "ZeroshotCLIP", "--root", root, "--seed", "1",
+            "--dataset-config-file",
+            osp.join(REPO, "configs/datasets/synthetic.yaml"),
+            "--backbone", "ViT-Test", "--output-dir", out_dir,
+            "DATASET.NUM_SHOTS", "8", "DATASET.SUBSAMPLE_CLASSES",
+            "base", "INPUT.SIZE", "(32, 32)",
+            "DATALOADER.TEST.BATCH_SIZE", "32"] + list(extra_opts)
+    return subprocess.Popen(args, cwd=cwd, env=_env(extra_env),
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+
+
+def _result_block(log_path):
+    with open(log_path) as f:
+        text = f.read()
+    m = re.search(r"=> result\n(\*.*\n)+", text)
+    assert m, f"no result block in {log_path}:\n{text[-2000:]}"
+    return m.group(0)
+
+
+def test_two_process_eval_matches_single(tmp_path):
+    root = str(tmp_path / "data")
+
+    # single-process baseline
+    cwd1 = tmp_path / "single"
+    cwd1.mkdir()
+    p = _run_zs(str(cwd1), root, str(cwd1 / "out"), {})
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out[-2000:]
+    want = _result_block(cwd1 / "out" / "log.txt")
+
+    # 2-process cluster, 4 virtual devices per process
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        cwd = tmp_path / f"rank{rank}"
+        cwd.mkdir()
+        env = {"CC_COORD_ADDR": f"localhost:{port}",
+               "CC_NUM_PROCS": "2", "CC_PROC_ID": str(rank)}
+        procs.append((cwd, _run_zs(str(cwd), root, str(cwd / "out"),
+                                   env, ["TPU.DISTRIBUTED", "True"])))
+    for cwd, p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"{cwd}: {out[-2000:]}"
+        # the banner prints before the log tee starts -> check stdout
+        assert "Distributed: 2 processes" in out, out[:2000]
+        assert _result_block(cwd / "out" / "log.txt") == want, \
+            f"rank at {cwd} diverged"

@@ -116,6 +116,13 @@ def setup_cfg(args):
 
 def main(args):
     cfg = setup_cfg(args)
+    if cfg.TPU.DISTRIBUTED:
+        # pod runs: every host executes this same script; after init the
+        # mesh spans all hosts and train steps are pod-SPMD
+        from clip_calibration_tpu.parallel.mesh import (
+            initialize_distributed)
+        nproc = initialize_distributed()
+        print(f"Distributed: {nproc} processes")
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")
         set_random_seed(cfg.SEED)
