@@ -7,7 +7,7 @@ from PIL import Image
 from clip_calibration_tpu.config import get_cfg_default
 from clip_calibration_tpu.data.base import (Datum, set_random_seed,
                                             subsample_classes)
-from clip_calibration_tpu.data.loader import DataManager
+from clip_calibration_tpu.data.loader import DataLoader, DataManager
 from clip_calibration_tpu.data.transforms import build_transform
 import clip_calibration_tpu.data.datasets  # noqa: F401  (registers)
 
@@ -208,3 +208,35 @@ def test_all_loaders_registered():
                 "Synthetic"]
     for name in expected:
         assert name in DATASET_REGISTRY, name
+
+
+def test_multihost_loader_slices_reassemble(tmp_path):
+    """Per-host batch slicing (pod mode): the rank slices of every
+    global batch, concatenated in rank order, must equal the world=1
+    batch — including the padded partial eval batch, where n_real stays
+    the GLOBAL real-row count on every rank."""
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.SEED = 1
+    dm = DataManager(cfg)
+
+    def loaders(world):
+        out = []
+        for rank in range(world):
+            ld = DataLoader(dm.dataset.test, 32,
+                            build_transform(cfg, is_train=False),
+                            is_train=False, num_workers=2, seed=1)
+            ld.rank, ld.world = rank, world
+            out.append(ld)
+        return out
+
+    (single,) = loaders(1)
+    r0, r1 = loaders(2)
+    for b, b0, b1 in zip(single, r0, r1):
+        merged_lab = np.concatenate([b0["label"], b1["label"]])
+        np.testing.assert_array_equal(merged_lab, b["label"])
+        merged_img = np.concatenate([b0["img"], b1["img"]])
+        np.testing.assert_array_equal(merged_img, b["img"])
+        assert b0["n_real"] == b1["n_real"] == b["n_real"]
