@@ -96,7 +96,7 @@ def bench_one(name: str, root: str):
         float(out["loss"])  # drain
         trials.append((time.perf_counter() - t0) / N_STEPS)
     ms = sorted(trials)[len(trials) // 2] * 1e3
-    return ms, batch_size / ms * 1e3
+    return ms, batch_size / ms * 1e3, batch_size
 
 
 def main():
@@ -105,8 +105,7 @@ def main():
     print(f"{'trainer':<14} {'batch':>5} {'ms/step':>9} {'img/s':>8}")
     for name in names:
         try:
-            ms, ips = bench_one(name, root)
-            bs = int(round(ips * ms / 1e3))
+            ms, ips, bs = bench_one(name, root)
             print(f"{name:<14} {bs:>5} {ms:>9.1f} {ips:>8.0f}",
                   flush=True)
         except Exception as e:  # keep the sweep going

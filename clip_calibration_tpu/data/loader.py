@@ -92,7 +92,15 @@ class DataLoader:
         items = [self.data_source[i] for i in chunk]
         n_real = len(items)
         if self.world > 1:
-            if n_real < bs:  # static shapes on every host
+            if n_real < bs:
+                if self.is_train:
+                    # padding a TRAIN batch would silently up-weight the
+                    # duplicated rows vs the single-host run (which
+                    # trains on just the real rows)
+                    raise ValueError(
+                        f"multi-host training needs full batches: got "
+                        f"{n_real} samples for batch size {bs}; shrink "
+                        f"the batch or grow the dataset")
                 items = items + [items[-1]] * (bs - n_real)
             pb = bs // self.world
             items = items[self.rank * pb:(self.rank + 1) * pb]

@@ -55,13 +55,17 @@ class MetricMeter:
     def _materialize(self):
         import jax.numpy as jnp
         for name, vals in self.meters.items():
-            if all(type(v) is float for v in vals):
+            # convert only the unfetched suffix — re-stacking already-
+            # materialized floats would re-upload them every print
+            idx = [i for i, v in enumerate(vals)
+                   if type(v) is not float]
+            if not idx:
                 continue
             stacked = jnp.stack(
-                [jnp.squeeze(jnp.asarray(v)) for v in vals])
-            self.meters[name] = deque(
-                (float(x) for x in np.asarray(stacked, np.float64)),
-                maxlen=100)
+                [jnp.squeeze(jnp.asarray(vals[i])) for i in idx])
+            fetched = np.asarray(stacked, np.float64)
+            for i, x in zip(idx, fetched):
+                vals[i] = float(x)
 
     def __str__(self):
         self._materialize()
@@ -194,12 +198,19 @@ class TrainerX:
             print(f"Tracing first {self.cfg.TPU.PROFILE_STEPS} steps "
                   f"to {profile_dir}")
             jax.profiler.start_trace(profile_dir)
-        end = time.time()
+        # forward_backward only ENQUEUES work (losses are fetched
+        # lazily), so a per-step clock would time the dispatch, not the
+        # step. Honest numbers come from the print window: stringifying
+        # the meter drains the queue, so wall time across the window /
+        # steps = true average step time.
+        end = window_start = time.time()
+        window_steps = 0
+        window_data = 0.0
         for self.batch_idx, batch in enumerate(
                 self._device_staged(self.train_loader_x)):
-            data_time = time.time() - end
+            window_data += time.time() - end  # decode/prefetch wait
             loss_summary = self.forward_backward(batch)
-            batch_time = time.time() - end
+            window_steps += 1
             if profiling and self.batch_idx + 1 >= \
                     self.cfg.TPU.PROFILE_STEPS:
                 import jax
@@ -208,6 +219,10 @@ class TrainerX:
             meter.update(loss_summary)
             if ((self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
                     or self.num_batches < self.cfg.TRAIN.PRINT_FREQ):
+                msg = str(meter)  # materializes pending losses (sync)
+                now = time.time()
+                batch_time = (now - window_start) / window_steps
+                data_time = window_data / window_steps
                 nb_left = self.num_batches - self.batch_idx - 1
                 ep_left = self.max_epoch - self.epoch - 1
                 eta = batch_time * (nb_left + ep_left * self.num_batches)
@@ -216,7 +231,10 @@ class TrainerX:
                     f"epoch [{self.epoch + 1}/{self.max_epoch}]"
                     f"[{self.batch_idx + 1}/{self.num_batches}] "
                     f"time {batch_time:.3f} data {data_time:.3f} "
-                    f"eta {eta} {meter}")
+                    f"eta {eta} {msg}")
+                window_start = time.time()
+                window_steps = 0
+                window_data = 0.0
             end = time.time()
         if profiling:  # epoch shorter than PROFILE_STEPS
             import jax
@@ -427,6 +445,13 @@ class TrainerX:
         # multi-host: the loader delivers this host's slice of the
         # global batch (data/loader.py); global rows = local * nproc
         if (arr.shape[0] * nproc) % n_data != 0:
+            if nproc > 1:
+                # no single-device fallback exists on a pod: a host-
+                # local array cannot feed a jit over the pod mesh
+                raise ValueError(
+                    f"global batch {arr.shape[0] * nproc} not divisible "
+                    f"by the mesh data axis ({n_data} devices); pick a "
+                    f"batch size divisible by the device count")
             return jnp.asarray(array)  # indivisible batch: single-device
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import put_global

@@ -40,15 +40,12 @@ def initialize_distributed() -> int:
             coordinator_address=os.environ["CC_COORD_ADDR"],
             num_processes=int(os.environ["CC_NUM_PROCS"]),
             process_id=int(os.environ["CC_PROC_ID"]))
-    try:
-        # NOTE: must run before ANY backend query — even
-        # jax.process_count() initializes the XLA client
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError) as e:
-        # single-process run without a coordinator, or already
-        # initialized: stay with whatever the runtime has
-        print(f"jax.distributed.initialize unavailable ({e}); "
-              f"continuing single-process")
+    # NOTE: must run before ANY backend query — even
+    # jax.process_count() initializes the XLA client. Failures
+    # propagate: a run that explicitly asked for TPU.DISTRIBUTED must
+    # not silently degrade to N independent single-process runs racing
+    # on the same output dirs.
+    jax.distributed.initialize(**kwargs)
     return jax.process_count()
 
 
@@ -75,21 +72,38 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
     if not explicit:
-        try:
-            from jax.experimental import mesh_utils
-            nproc = jax.process_count()
-            if nproc > 1 and mesh_shape[0] % nproc == 0:
+        nproc = jax.process_count()
+        if nproc > 1:
+            # put_global assumes the data axis is process-major; build
+            # that explicitly. Real TPU pods get ICI-aware ordering
+            # inside each host via create_hybrid_device_mesh; platforms
+            # without slice topology (e.g. the CPU-cluster tests) get a
+            # deterministic (process, id) sort — equally correct, no
+            # ICI to optimize.
+            if mesh_shape[0] % nproc != 0:
+                raise ValueError(
+                    f"data axis {mesh_shape[0]} not divisible by "
+                    f"{nproc} processes")
+            try:
+                from jax.experimental import mesh_utils
                 per_host = (mesh_shape[0] // nproc,) + tuple(
                     mesh_shape[1:])
                 arr = mesh_utils.create_hybrid_device_mesh(
                     per_host, (nproc,) + (1,) * (len(mesh_shape) - 1),
                     devices=devices)
-            else:
-                arr = mesh_utils.create_device_mesh(
-                    tuple(mesh_shape), devices=devices)
+            except ValueError:  # no slice topology on this platform
+                devs = sorted(devices,
+                              key=lambda d: (d.process_index, d.id))
+                arr = np.asarray(devs).reshape(mesh_shape)
             return Mesh(arr, tuple(axis_names[:arr.ndim]))
-        except Exception:  # virtual/CPU platforms: plain row-major
-            pass
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(
+                tuple(mesh_shape), devices=devices)
+            return Mesh(arr, tuple(axis_names[:arr.ndim]))
+        except Exception as e:
+            print(f"topology-aware mesh unavailable ({e}); "
+                  f"using row-major device order")
     arr = np.asarray(devices).reshape(mesh_shape)
     return Mesh(arr, tuple(axis_names[:arr.ndim]))
 
@@ -118,6 +132,21 @@ def shard_batch(batch_arrays, mesh: Mesh):
     """Device-put host batch arrays with batch-axis sharding."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch_arrays)
+
+
+def to_host_global(x) -> np.ndarray:
+    """``np.asarray`` that also handles pod-global jax.Arrays.
+
+    Data-sharded global arrays span non-addressable devices and cannot
+    be fetched directly; materialize the full array on every host
+    first. Host arrays, single-host device arrays, and fully-replicated
+    global arrays convert as-is.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable \
+            and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 def put_global(array, sharding: NamedSharding):

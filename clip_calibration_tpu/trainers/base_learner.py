@@ -140,23 +140,18 @@ class VLBaseLearner(TrainerX):
         logits_all, labels_all, img_f_all = [], [], []
         text_features = None
         pending = None
-        import jax
-        multihost = jax.process_count() > 1
 
         def collect(p):
+            # to_host_global materializes pod-global (data-sharded)
+            # arrays on every host in mesh data-axis order; host/
+            # replicated arrays convert as-is. n is the GLOBAL real-row
+            # count (data/loader.py), matching the global row layout.
+            from ..parallel.mesh import to_host_global
             (output, img_f, txt_f), n, labels = p
-            if multihost:
-                # outputs are global (data-axis-sharded over the pod);
-                # materialize the full arrays on every host, and gather
-                # the host-local label slices in mesh data-axis order
-                # (process-major, matching make_mesh's hybrid layout).
-                # n is the GLOBAL real-row count (data/loader.py).
-                from jax.experimental import multihost_utils
-                output, img_f, labels = multihost_utils.process_allgather(
-                    (output, img_f, labels), tiled=True)
-            logits_all.append(np.asarray(output, np.float32)[:n])
-            img_f_all.append(np.asarray(img_f, np.float32)[:n])
-            labels_all.append(np.asarray(labels)[:n])
+            logits_all.append(
+                to_host_global(output).astype(np.float32)[:n])
+            img_f_all.append(to_host_global(img_f).astype(np.float32)[:n])
+            labels_all.append(to_host_global(labels)[:n])
             return txt_f
 
         for batch in self._device_staged(data_loader):

@@ -102,9 +102,15 @@ class TempScaling(VLBaseLearner):
 
     # -- helpers --------------------------------------------------------------
     def _unit_logits(self, images):
-        """Base model cosine logits with its temperature divided out."""
+        """Base model cosine logits with its temperature divided out.
+
+        Multi-host: the base model's logits are a global data-sharded
+        jax.Array; materialize the full array on every host before the
+        numpy conversion (fetching a non-addressable array raises)."""
         logits, img_f, txt_f = self.base.model_inference(images)
-        cos = np.asarray(logits, np.float32) / np.exp(self._base_log_scale)
+        from ...parallel.mesh import to_host_global
+        cos = (to_host_global(logits).astype(np.float32)
+               / np.exp(self._base_log_scale))
         return cos, img_f, txt_f
 
     # -- train -------------------------------------------------------------
@@ -120,10 +126,11 @@ class TempScaling(VLBaseLearner):
         grow unboundedly and never hit, so it is bypassed.
         """
         n = batch["n_real"]
+        from ...parallel.mesh import to_host_global
         if self.train_loader_x is not self.val_loader:
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
-            return cos[:n], np.asarray(labels)[:n]
+            return cos[:n], to_host_global(labels)[:n]
         key = tuple(batch["impath"])
         if key not in self._cos_cache:
             # bounded by construction: the seeded eval-order val loader
@@ -136,7 +143,7 @@ class TempScaling(VLBaseLearner):
                     "val loader order is expected to be deterministic")
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
-            self._cos_cache[key] = (cos[:n], np.asarray(labels)[:n])
+            self._cos_cache[key] = (cos[:n], to_host_global(labels)[:n])
         elif not self._fingerprint_checked:
             # first cache hit of the run: the base model must not have
             # trained since build (cached logits would silently go stale)
