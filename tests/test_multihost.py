@@ -9,7 +9,15 @@ hybrid mesh construction, per-host batch slicing in the loader
 (``trainers/base_learner.py::_run_inference``).
 
 The gate: a 2-process ZeroshotCLIP eval must reproduce the
-single-process ``=> result`` block byte-for-byte on every rank.
+single-process ``=> result`` block byte-for-byte on every rank. The
+gate is eval-only deliberately: a TRAINED comparison is chaotic on the
+tiny random-init backbone (sharded reductions accumulate in a
+different order; ``tests/test_parallel.py`` bounds the per-step
+difference at rel 2e-5, but high-LR steps on a random model amplify
+it), while eval has no accumulation feedback loop. The full pod
+pipeline incl. CoOp training and TempScaling scaling-training was
+additionally hand-driven green on the same 2-process cluster
+(identical metrics across ranks).
 """
 
 import os
