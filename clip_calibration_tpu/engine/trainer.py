@@ -214,6 +214,10 @@ class TrainerX:
             if profiling and self.batch_idx + 1 >= \
                     self.cfg.TPU.PROFILE_STEPS:
                 import jax
+                # losses are fetched lazily, so the profiled steps may
+                # still be queued — drain before closing the trace or
+                # the device timeline comes out empty
+                jax.block_until_ready(loss_summary)
                 jax.profiler.stop_trace()
                 profiling = False
             meter.update(loss_summary)
@@ -238,6 +242,7 @@ class TrainerX:
             end = time.time()
         if profiling:  # epoch shorter than PROFILE_STEPS
             import jax
+            jax.block_until_ready(loss_summary)
             jax.profiler.stop_trace()
         # honest throughput: per-step prints exclude the lazy loss-fetch
         # drain, so wall/steps is the number to trust (first epoch also

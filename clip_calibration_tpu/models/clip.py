@@ -330,6 +330,16 @@ def encode_text_embedded(
     """
     tp = params["text"]
     if seq_len is not None and seq_len < x.shape[1]:
+        # a too-small seq_len would CLAMP the pooling gather (jit
+        # out-of-bounds semantics) and silently pool the wrong position;
+        # enforce the contract whenever eot_pos is concrete (setup-time
+        # calls — inside jit the caller's eot_seq_len is the contract)
+        if not isinstance(eot_pos, jax.core.Tracer):
+            mx = int(np.max(np.asarray(eot_pos)))
+            if mx >= seq_len:
+                raise ValueError(
+                    f"seq_len={seq_len} drops an EOT at position {mx}; "
+                    f"use eot_seq_len(eot_pos) (= max+1)")
         x = x[:, :seq_len]
     x = x + tp["positional_embedding"][:x.shape[1]].astype(x.dtype)
     mask = causal_mask(x.shape[1])
@@ -345,7 +355,6 @@ def encode_text_embedded(
 def eot_seq_len(eot_pos) -> int:
     """Static truncation length for ``seq_len=``: one past the furthest
     EOT pooling position. Call host-side (concrete eot positions)."""
-    import numpy as np
     return int(np.max(np.asarray(eot_pos))) + 1
 
 

@@ -162,9 +162,10 @@ class VLBaseLearner(TrainerX):
             pending = (out, batch["n_real"], labels)
         if pending is not None:
             text_features = collect(pending)
+        from ..parallel.mesh import to_host_global
         return (np.concatenate(logits_all), np.concatenate(labels_all),
                 np.concatenate(img_f_all),
-                np.asarray(text_features, np.float32))
+                to_host_global(text_features).astype(np.float32))
 
     # -- the generic testing pipeline (reference base_learner.py:59-152) ----
     def test(self, split=None):

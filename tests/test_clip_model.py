@@ -266,3 +266,15 @@ def test_eot_truncation_exact(golden, converted):
                                rtol=1e-4, atol=1e-4)
     # and the dead tail of the full-length grad really is zero
     np.testing.assert_array_equal(np.asarray(g0)[:, seq:], 0.0)
+
+
+def test_eot_truncation_rejects_dropped_eot(golden, converted):
+    """A seq_len that drops an EOT must fail loudly on concrete inputs
+    (under jit it would silently clamp the pooling gather)."""
+    params, cfg = converted
+    toks = jnp.asarray(golden["toks"])
+    x = M.embed_tokens(params, toks, jnp.float32)
+    eot = jnp.argmax(toks, axis=-1)
+    bad = int(np.max(np.asarray(eot)))  # == max EOT -> drops it
+    with pytest.raises(ValueError, match="drops an EOT"):
+        M.encode_text_embedded(params, cfg, x, eot, seq_len=bad)
