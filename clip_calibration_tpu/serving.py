@@ -91,8 +91,19 @@ class Predictor:
             return M.normalize(M.encode_image(params, cfg, x,
                                               dtype=dtype))
 
+        def predict_step(params, text_features, images, scale, conf):
+            # encode + calibrated scoring in ONE program: the image
+            # features never leave the device (a D2H/H2D round-trip
+            # between two separate dispatches costs more than the
+            # encode itself on remote-attached chips)
+            img_f = encode(params, images)
+            probs, _ = fused_dac_scores(img_f, text_features, scale,
+                                        conf, normalized=True)
+            return probs
+
         if mesh is None:
             self._encode = jax.jit(encode)
+            self._predict_step = jax.jit(predict_step)
         else:
             from .parallel.mesh import data_sharding, replicated
 
@@ -101,6 +112,11 @@ class Predictor:
             self._batch_sharding = data_sharding(mesh)
             self._encode = jax.jit(
                 encode, in_shardings=(repl, self._batch_sharding),
+                out_shardings=repl)
+            self._predict_step = jax.jit(
+                predict_step,
+                in_shardings=(repl, repl, self._batch_sharding, repl,
+                              repl),
                 out_shardings=repl)
 
     # -- constructors -------------------------------------------------------
@@ -157,18 +173,6 @@ class Predictor:
             return {"probs": np.zeros((0, n_cls), np.float32),
                     "preds": np.zeros((0,), np.int64),
                     "confidences": np.zeros((0,), np.float32)}
-        feats = []
-        bs = self.batch_size
-        for i in range(0, n, bs):
-            batch = images[i:i + bs]
-            if batch.shape[0] < bs:  # pad: static shapes, no retrace
-                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
-                batch = np.concatenate([batch, pad])
-            feats.append(np.asarray(
-                self._encode(self.params, jnp.asarray(batch)),
-                np.float32))
-        img_f = np.concatenate(feats)[:n]
-
         scale = self.params["logit_scale"]
         if self.temperature is not None:
             # tempered logits: temperature REPLACES exp(logit_scale)
@@ -177,10 +181,21 @@ class Predictor:
         conf = self.class_confidence
         if conf is None:
             conf = jnp.ones((len(self.classnames),), jnp.float32)
-        probs, _ = fused_dac_scores(
-            jnp.asarray(img_f), self.text_features,
-            jnp.asarray(scale), conf, normalized=True)
-        probs = np.asarray(probs, np.float32)
+
+        # dispatch every chunk (async), then fetch — transfers overlap
+        # the remaining compute instead of syncing per chunk
+        bs = self.batch_size
+        pending = []
+        for i in range(0, n, bs):
+            batch = images[i:i + bs]
+            if batch.shape[0] < bs:  # pad: static shapes, no retrace
+                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
+                batch = np.concatenate([batch, pad])
+            pending.append(self._predict_step(
+                self.params, self.text_features, jnp.asarray(batch),
+                scale, conf))
+        probs = np.concatenate(
+            [np.asarray(p, np.float32) for p in pending])[:n]
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}
