@@ -101,3 +101,40 @@ def test_random_arch_parity(arch):
     my_logits = M.cosine_logits(img_f, txt_f, params["logit_scale"])
     np.testing.assert_allclose(np.asarray(my_logits), ref_logits,
                                rtol=2e-4, atol=2e-3)
+
+
+RESNET_ARCHS = [
+    ((1, 1, 1, 1), 16, 64, 32),   # (layers, width, res, embed)
+    ((2, 1, 2, 1), 32, 64, 48),
+    ((1, 2, 1, 2), 24, 96, 64),
+]
+
+
+@pytest.mark.parametrize("arch", RESNET_ARCHS,
+                         ids=["rn-tiny", "rn-mixed", "rn-tall"])
+def test_random_modified_resnet_parity(arch):
+    import torch
+    layers, width, res, embed = arch
+    mod = _ref_model_module()
+    torch.manual_seed(width * 13 + res)
+    ref = mod.ModifiedResNet(layers=layers, output_dim=embed,
+                             heads=width * 32 // 64,
+                             input_resolution=res, width=width
+                             ).float().eval()
+
+    rng = np.random.default_rng(width)
+    x = rng.normal(0, 1, (2, res, res, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    from clip_calibration_tpu.models.resnet import (
+        convert_torch_resnet, modified_resnet_forward)
+    sd = {f"visual.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    cfg = M.CLIPConfig(embed_dim=embed, image_resolution=res,
+                       vision_layers=layers, vision_width=width,
+                       vision_patch_size=None, transformer_width=64,
+                       transformer_heads=2, transformer_layers=2)
+    params = convert_torch_resnet(sd, cfg, np.float32)
+    out = modified_resnet_forward(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4,
+                               atol=2e-4)
