@@ -69,10 +69,11 @@ class Synthetic(StandardDataset):
     def __init__(self, cfg):
         root = cfg.DATASET.ROOT or os.path.join(
             os.path.expanduser("~"), ".cache", "clip_calibration_tpu")
-        self.n_classes, self.n_train, self.n_val, self.n_test = _dims()
+        dims = _dims()
+        self.n_classes, self.n_train, self.n_val, self.n_test = dims
         subdir = type(self).dataset_dir
-        if _dims() != (N_CLASSES, N_TRAIN, N_VAL, N_TEST):
-            subdir += "_{}x{}_{}_{}".format(*_dims())
+        if dims != (N_CLASSES, N_TRAIN, N_VAL, N_TEST):
+            subdir += "_{}x{}_{}_{}".format(*dims)
         self.dataset_dir = os.path.join(os.path.abspath(root), subdir)
         self.image_dir = os.path.join(self.dataset_dir, "images")
         self.split_fewshot_dir = os.path.join(self.dataset_dir,

@@ -352,10 +352,15 @@ def encode_text_embedded(
     return jnp.dot(pooled, tp["text_projection"].astype(pooled.dtype))
 
 
-def eot_seq_len(eot_pos) -> int:
+def eot_seq_len(tokens_or_eot) -> int:
     """Static truncation length for ``seq_len=``: one past the furthest
-    EOT pooling position. Call host-side (concrete eot positions)."""
-    return int(np.max(np.asarray(eot_pos))) + 1
+    EOT pooling position. Accepts raw [N, L] token rows (EOT is the max
+    token id per row) or precomputed [N] EOT positions. Call host-side
+    (concrete arrays)."""
+    a = np.asarray(tokens_or_eot)
+    if a.ndim == 2:
+        a = a.argmax(-1)
+    return int(np.max(a)) + 1
 
 
 def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,

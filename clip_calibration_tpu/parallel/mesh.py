@@ -72,6 +72,7 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
     if not explicit:
+        from jax.experimental import mesh_utils
         nproc = jax.process_count()
         if nproc > 1:
             # put_global assumes the data axis is process-major; build
@@ -85,7 +86,6 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
                     f"data axis {mesh_shape[0]} not divisible by "
                     f"{nproc} processes")
             try:
-                from jax.experimental import mesh_utils
                 per_host = (mesh_shape[0] // nproc,) + tuple(
                     mesh_shape[1:])
                 arr = mesh_utils.create_hybrid_device_mesh(
@@ -97,7 +97,6 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
                 arr = np.asarray(devs).reshape(mesh_shape)
             return Mesh(arr, tuple(axis_names[:arr.ndim]))
         try:
-            from jax.experimental import mesh_utils
             arr = mesh_utils.create_device_mesh(
                 tuple(mesh_shape), devices=devices)
             return Mesh(arr, tuple(axis_names[:arr.ndim]))

@@ -67,7 +67,7 @@ class Predictor:
             prompts = [template.format(c.replace("_", " "))
                        for c in self.classnames]
             toks = tokenize(prompts)
-            seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
+            seq = M.eot_seq_len(toks)
             _text_features = jax.jit(
                 lambda p, t: M.normalize(
                     M.encode_text(p, self.cfg, t, dtype=self.dtype,

@@ -28,6 +28,7 @@ from ..engine.trainer import TrainerX
 from ..models import clip as M
 from ..models.backbone import load_clip_backbone
 from ..models.tokenizer import tokenize
+from ..parallel.mesh import to_host_global
 from .calibration.proximity import (get_knn_dists, get_val_image_knn_dists,
                                     proximity_from_dists)
 from .calibration.vl_calibrator import VLCalibration
@@ -84,7 +85,7 @@ def encode_classnames_zs(backbone_name: str, dataset_name: str,
     temp = template or build_clip_templates(dataset_name)
     prompts = [temp.format(c.replace("_", " ")) for c in classnames]
     toks = tokenize(prompts)
-    seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
+    seq = M.eot_seq_len(toks)
     feats = jax.jit(lambda p, t: M.normalize(
         M.encode_text(p, ccfg, t, dtype=dtype, seq_len=seq)))(
         params, toks)
@@ -146,7 +147,6 @@ class VLBaseLearner(TrainerX):
             # arrays on every host in mesh data-axis order; host/
             # replicated arrays convert as-is. n is the GLOBAL real-row
             # count (data/loader.py), matching the global row layout.
-            from ..parallel.mesh import to_host_global
             (output, img_f, txt_f), n, labels = p
             logits_all.append(
                 to_host_global(output).astype(np.float32)[:n])
@@ -162,7 +162,6 @@ class VLBaseLearner(TrainerX):
             pending = (out, batch["n_real"], labels)
         if pending is not None:
             text_features = collect(pending)
-        from ..parallel.mesh import to_host_global
         return (np.concatenate(logits_all), np.concatenate(labels_all),
                 np.concatenate(img_f_all),
                 to_host_global(text_features).astype(np.float32))

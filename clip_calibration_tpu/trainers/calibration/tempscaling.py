@@ -27,6 +27,7 @@ import optax
 from ...engine.optim import build_optimizer
 from ...engine.registry import TRAINER_REGISTRY
 from ...engine.checkpoint import save_checkpoint
+from ...parallel.mesh import to_host_global
 from ..base_learner import VLBaseLearner
 
 
@@ -108,7 +109,6 @@ class TempScaling(VLBaseLearner):
         jax.Array; materialize the full array on every host before the
         numpy conversion (fetching a non-addressable array raises)."""
         logits, img_f, txt_f = self.base.model_inference(images)
-        from ...parallel.mesh import to_host_global
         cos = (to_host_global(logits).astype(np.float32)
                / np.exp(self._base_log_scale))
         return cos, img_f, txt_f
@@ -126,7 +126,6 @@ class TempScaling(VLBaseLearner):
         grow unboundedly and never hit, so it is bypassed.
         """
         n = batch["n_real"]
-        from ...parallel.mesh import to_host_global
         if self.train_loader_x is not self.val_loader:
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)

@@ -53,7 +53,7 @@ class CLIP_Adapter(VLBaseLearner):
                    for name in classnames]
         toks = tokenize(prompts)
         ccfg = self.clip_cfg
-        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
+        seq = M.eot_seq_len(toks)
         self.text_features = jax.jit(
             lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
                 self.clip_params, jnp.asarray(toks))

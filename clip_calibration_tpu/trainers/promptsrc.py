@@ -90,8 +90,7 @@ class PromptSRC(VLBaseLearner):
                     for template in IMAGENET_TEMPLATES]
         # one static truncation length across templates: a single
         # compiled shape, ~2.5x less text-tower work (models/clip.py)
-        seq = max(M.eot_seq_len(np.asarray(t).argmax(-1))
-                  for t in all_toks)
+        seq = max(M.eot_seq_len(t) for t in all_toks)
         encode = jax.jit(
             lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
         feats = [np.asarray(encode(self.clip_params, jnp.asarray(t)),

@@ -69,8 +69,7 @@ class TaskRes(VLBaseLearner):
         all_toks = [tokenize([t.format(name) for t in templates])
                     for name in classnames]
         # shared static truncation across classes -> one compiled shape
-        seq = max(M.eot_seq_len(np.asarray(t).argmax(-1))
-                  for t in all_toks)
+        seq = max(M.eot_seq_len(t) for t in all_toks)
         encode = jax.jit(
             lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
         feats = [np.asarray(encode(params, jnp.asarray(t)),

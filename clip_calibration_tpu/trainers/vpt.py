@@ -59,7 +59,7 @@ class VPT(VLBaseLearner):
                    for n in classnames]
         ccfg = self.clip_cfg
         toks = tokenize(prompts)
-        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
+        seq = M.eot_seq_len(toks)
         self.text_features = jax.jit(
             lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
                 self.clip_params, jnp.asarray(toks))

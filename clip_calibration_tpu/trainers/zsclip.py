@@ -43,7 +43,7 @@ class ZeroshotCLIP(VLBaseLearner):
         dtype = (jnp.float32 if cfg.MODEL.PRECISION == "fp32"
                  else jnp.bfloat16)
         ccfg = self.clip_cfg
-        seq = M.eot_seq_len(np.asarray(toks).argmax(-1))
+        seq = M.eot_seq_len(toks)
         text_features = jax.jit(
             lambda p, t: M.normalize(M.encode_text(p, ccfg, t,
                                                    dtype=dtype,
