@@ -199,3 +199,56 @@ class Predictor:
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}
+
+
+class TrainerPredictor:
+    """Serve ANY built trainer through its own inference step.
+
+    ``Predictor`` covers zero-shot and CoOp-family checkpoints;
+    this wraps an already-built trainer object (MaPLe, PromptSRC, VPT,
+    TempScaling, ...) — whatever ``model_inference`` computes is what
+    gets served, with serving-side static-shape batching and optional
+    DAC class confidences applied exactly as the eval pipeline does
+    (reference ``vl_calibrator.py``: DAC scales logits first, softmax
+    after). For a fitted temperature, build a TempScaling trainer
+    around the base learner and wrap THAT — its ``model_inference``
+    already returns tempered logits.
+    """
+
+    def __init__(self, trainer, class_confidence=None,
+                 batch_size: Optional[int] = None):
+        self.trainer = trainer
+        self.batch_size = int(batch_size
+                              or trainer.cfg.DATALOADER.TEST.BATCH_SIZE)
+        self.class_confidence = (
+            None if class_confidence is None
+            else np.asarray(class_confidence, np.float32))
+
+    def predict(self, images: np.ndarray) -> dict:
+        """images: uint8 [N, H, W, 3] at the model resolution."""
+        images = np.asarray(images)
+        n = images.shape[0]
+        n_cls = self.trainer.dm.num_classes
+        if n == 0:
+            return {"probs": np.zeros((0, n_cls), np.float32),
+                    "preds": np.zeros((0,), np.int64),
+                    "confidences": np.zeros((0,), np.float32)}
+        bs = self.batch_size
+        pending = []
+        for i in range(0, n, bs):
+            batch = images[i:i + bs]
+            if batch.shape[0] < bs:  # pad: static shapes, no retrace
+                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
+                batch = np.concatenate([batch, pad])
+            out, _, _ = self.trainer.model_inference(batch)
+            pending.append(out)  # async dispatch; fetch after the loop
+        logits = np.concatenate(
+            [np.asarray(p, np.float32) for p in pending])[:n]
+        if self.class_confidence is not None:
+            logits = logits * self.class_confidence[
+                logits.argmax(axis=1)][:, None]
+        z = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = z / z.sum(axis=1, keepdims=True)
+        preds = probs.argmax(axis=1)
+        return {"probs": probs, "preds": preds,
+                "confidences": probs.max(axis=1)}

@@ -145,3 +145,55 @@ def test_mesh_sharded_predictor_matches_single_device():
     np.testing.assert_allclose(out_m["probs"], out_s["probs"],
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
+
+
+def test_trainer_predictor_serves_any_trainer(tmp_path):
+    """TrainerPredictor must reproduce the trainer's own inference math
+    (incl. padding/trim) for a trainer Predictor cannot serve (MaPLe's
+    deep prompts), and apply DAC confidences with the eval pipeline's
+    logits-then-softmax order."""
+    from scipy.special import softmax
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.engine.registry import build_trainer
+    import clip_calibration_tpu.trainers  # noqa: F401
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+    from clip_calibration_tpu.serving import TrainerPredictor
+
+    cfg = get_cfg_default()
+    cfg.TEST.EVALUATOR = "VLClassification"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.SEED = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = "MaPLe"
+    cfg.TRAINER.MAPLE.N_CTX = 2
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 2  # ViT-Test: 2 layers
+    cfg.freeze()
+    trainer = build_trainer(cfg)
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+
+    tp = TrainerPredictor(trainer, batch_size=4)  # forces pad+trim
+    out = tp.predict(imgs)
+
+    direct = []
+    for chunk in (imgs[:4], np.concatenate(
+            [imgs[4:], np.repeat(imgs[4:5], 3, axis=0)])):
+        logits, _, _ = trainer.model_inference(chunk)
+        direct.append(np.asarray(logits, np.float32))
+    logits = np.concatenate(direct)[:5]
+    np.testing.assert_allclose(out["probs"], softmax(logits, axis=1),
+                               rtol=1e-5, atol=1e-6)
+
+    conf = rng.random(trainer.dm.num_classes).astype(np.float32)
+    out_dac = TrainerPredictor(trainer, class_confidence=conf,
+                               batch_size=4).predict(imgs)
+    scaled = logits * conf[logits.argmax(axis=1)][:, None]
+    np.testing.assert_allclose(out_dac["probs"],
+                               softmax(scaled, axis=1),
+                               rtol=1e-5, atol=1e-6)
