@@ -282,8 +282,13 @@ class TrainerX:
         self.close_writer()
 
     # -- checkpointing ---------------------------------------------------------
+    #: checkpoint filename stem; calibration trainers override with
+    #: "model-calibrated" (reference tempscaling.py:305-327 naming)
+    checkpoint_model_name = "model"
+
     def save_model(self, epoch: int, directory: str,
-                   is_best: bool = False, model_name: str = "model"):
+                   is_best: bool = False, model_name: str = None):
+        model_name = model_name or self.checkpoint_model_name
         for name, slot in self._models.items():
             save_checkpoint(
                 {"state_dict": slot["params"], "epoch": epoch + 1,
@@ -367,8 +372,9 @@ class TrainerX:
         loaded = []
         for name in self.get_model_names():
             try:
-                path = resolve_model_file(osp.join(directory, name),
-                                          latest=True)
+                path = resolve_model_file(
+                    osp.join(directory, name), latest=True,
+                    model_name=self.checkpoint_model_name)
                 ckpt = load_checkpoint(path)
                 state = ckpt["state_dict"]
                 epoch = ckpt["epoch"]

@@ -71,6 +71,10 @@ class BinMeanShift:
 
         groups = [np.where(bin_no == b)[0]
                   for b in range(self.proximity_bin)]
+        # bins left empty by duplicate edges (tied proximities) have no
+        # calibrator fit; test samples routed to them later pass through
+        # uncalibrated instead of hitting an unfitted calibrator
+        self._fitted = [len(idx) > 0 for idx in groups]
         parts = []
         for b, idx in enumerate(groups):
             if len(idx) == 0:
@@ -90,12 +94,15 @@ class BinMeanShift:
         x = self._maybe_softmax(x)
         groups = [np.where(bin_no == b)[0]
                   for b in range(self.proximity_bin)]
+        fitted = getattr(self, "_fitted", [True] * self.proximity_bin)
         parts = []
         for b, idx in enumerate(groups):
             if len(idx) == 0:
                 parts.append(np.zeros((0, x.shape[1])))
-                continue
-            parts.append(self.calibrators[b].transform(x[idx]))
+            elif not fitted[b]:  # empty at fit time: identity
+                parts.append(x[idx])
+            else:
+                parts.append(self.calibrators[b].transform(x[idx]))
         probs = np.concatenate(parts, axis=0)
         order = np.argsort(np.concatenate(groups))
         return probs[order]

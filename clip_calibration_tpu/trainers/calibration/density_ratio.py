@@ -47,6 +47,7 @@ class DensityRatioCalibration:
         self.dens_true: GaussianKDE2D | None = None
         self.dens_false: GaussianKDE2D | None = None
         self.false_true_ratio: float = 0.0
+        self.degenerate: bool = False
 
     def fit(self, probs, preds, true, proximity) -> None:
         probs = np.asarray(probs, np.float64)
@@ -57,6 +58,20 @@ class DensityRatioCalibration:
         proximity = np.asarray(proximity, np.float64)
         confs = np.max(probs, axis=-1)
         correct = preds == true
+
+        # a 2-D KDE needs >= 2 samples per class for a finite bandwidth
+        # (ddof=1 std of one point is NaN; n=0 crashes the bandwidth
+        # rule). Few-shot val splits are tiny (<= 4/class) and often
+        # near-perfectly classified, so a (near-)empty incorrect set is
+        # common — fall back to identity calibration rather than
+        # poisoning every probability. (The reference's statsmodels KDE
+        # degenerates the same way; this guard is a deviation for
+        # robustness.)
+        self.degenerate = correct.sum() < 2 or (~correct).sum() < 2
+        if self.degenerate:
+            print("DensityRatioCalibration: <2 correct or incorrect "
+                  "val samples; falling back to identity calibration")
+            return
 
         self.dens_true = GaussianKDE2D(
             np.stack([confs[correct], proximity[correct]], axis=1))
@@ -69,6 +84,8 @@ class DensityRatioCalibration:
         probs = np.asarray(probs, np.float64)
         assert np.all(probs >= 0) and np.all(probs <= 1), (
             "All elements in 'probs' should be in the range [0, 1].")
+        if self.degenerate:
+            return probs.copy()
         proximities = np.asarray(proximities, np.float64)
         preds = np.argmax(probs, axis=-1)
         confs = np.max(probs, axis=-1)

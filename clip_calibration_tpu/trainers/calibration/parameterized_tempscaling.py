@@ -27,9 +27,21 @@ from .tempscaling import TempScaling
 
 
 def pts_log_scale(params, cos_logits: jnp.ndarray) -> jnp.ndarray:
-    """[N, C] unit logits -> [N] per-sample log temperature scale."""
+    """[N, C] unit logits -> [N] per-sample log temperature scale.
+
+    The MLP input width is always TOP_K_LOGITS regardless of the class
+    count — base-split checkpoints must load into new-split evals whose
+    n_cls differs. Fewer classes than k pads the sorted logits with the
+    row minimum (preserves the descending structure)."""
     k = params["w_in"].shape[0]
-    top = jax.lax.top_k(cos_logits, k)[0]  # sorted descending
+    n_cls = cos_logits.shape[-1]
+    if n_cls >= k:
+        top = jax.lax.top_k(cos_logits, k)[0]  # sorted descending
+    else:
+        top = jnp.sort(cos_logits, axis=-1)[..., ::-1]
+        top = jnp.concatenate(
+            [top, jnp.repeat(top[..., -1:], k - n_cls, axis=-1)],
+            axis=-1)
     h = jnp.maximum(jnp.dot(top, params["w_in"]) + params["b_in"], 0)
     # stacked [n_mid, nodes, nodes] hidden layers (possibly n_mid == 0)
     for i in range(params["ws"].shape[0]):
@@ -45,7 +57,9 @@ class ParameterizedTempScaling(TempScaling):
         super().build_model()  # builds base learner + plain scale slot
 
         cfg = self.cfg
-        k = min(cfg.CALIBRATION.P_TS.TOP_K_LOGITS, self.dm.num_classes)
+        # fixed width (see pts_log_scale): checkpoints stay loadable
+        # across base/new splits with different class counts
+        k = cfg.CALIBRATION.P_TS.TOP_K_LOGITS
         nodes = cfg.CALIBRATION.P_TS.N_NODES
         n_layers = cfg.CALIBRATION.P_TS.N_LAYERS
         rng = jax.random.PRNGKey(max(cfg.SEED, 0))

@@ -26,7 +26,7 @@ import optax
 
 from ...engine.optim import build_optimizer
 from ...engine.registry import TRAINER_REGISTRY
-from ...engine.checkpoint import save_checkpoint
+
 from ...parallel.mesh import to_host_global
 from ..base_learner import VLBaseLearner
 
@@ -172,13 +172,9 @@ class TempScaling(VLBaseLearner):
         return cos * np.exp(s), img_f, txt_f
 
     # -- checkpointing: model-calibrated.pth.tar-N --------------------------
-    def save_model(self, epoch, directory, is_best=False,
-                   model_name="model"):
-        for name, slot in self._models.items():
-            save_checkpoint(
-                {"state_dict": slot["params"], "epoch": epoch + 1},
-                osp.join(directory, name), epoch + 1, is_best=is_best,
-                model_name="model-calibrated")
+    # the engine's save_model/resume use this stem, so an interrupted
+    # scaling run auto-resumes (epoch + optimizer state) like any other
+    checkpoint_model_name = "model-calibrated"
 
     def load_model(self, directory, epoch=None):
         """Load the scale learner from model-calibrated checkpoints

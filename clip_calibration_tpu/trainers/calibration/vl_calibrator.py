@@ -48,8 +48,9 @@ class VLCalibration:
         self.val_labels = np.asarray(val_dict["val_labels"])
         self.val_image_knn_dists = np.asarray(
             val_dict["val_image_knn_dists"], np.float64)
-        self.val_image_proximity = np.exp(
-            -np.mean(self.val_image_knn_dists, axis=-1))
+        from .proximity import proximity_from_dists
+        self.val_image_proximity = proximity_from_dists(
+            self.val_image_knn_dists)
 
         self.dac_calibrator = None
         self.base_calibrator = None

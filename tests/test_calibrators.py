@@ -237,3 +237,45 @@ def test_val_self_knn_rejects_single_sample():
 
     with pytest.raises(ValueError, match="val set too small"):
         get_val_image_knn_dists(np.ones((1, 8), np.float32), k_nns=5)
+
+
+def test_density_ratio_degenerate_split_identity():
+    """<2 correct or incorrect val samples (common for 4-shot val sets
+    at high accuracy) must fall back to identity calibration instead of
+    NaN bandwidths / ZeroDivisionError."""
+    from clip_calibration_tpu.trainers.calibration.density_ratio import (
+        DensityRatioCalibration)
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(5), 20)
+    preds = probs.argmax(1)
+    prox = rng.random(20)
+
+    for true in (preds.copy(),                       # 0 incorrect
+                 np.where(np.arange(20) == 3, (preds + 1) % 5, preds)):
+        cal = DensityRatioCalibration()              # 1 incorrect
+        cal.fit(probs, preds, true, prox)
+        out = cal.predict(probs, prox)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, probs)
+
+
+def test_bin_mean_shift_empty_bin_passthrough():
+    """Tied proximities collapse quantile edges; test samples routed to
+    a bin that was empty at fit time pass through uncalibrated instead
+    of crashing on an unfitted calibrator."""
+    from clip_calibration_tpu.trainers.calibration.bin_mean_shift import (
+        BinMeanShift)
+    from clip_calibration_tpu.trainers.calibration.binning import (
+        HistogramBinning)
+    rng = np.random.default_rng(1)
+    logits = rng.normal(0, 2, (40, 5))
+    gt = rng.integers(0, 5, 40)
+    prox = np.r_[np.full(30, 0.5), np.linspace(0.6, 0.9, 10)]
+
+    bms = BinMeanShift("histogram_binning", HistogramBinning,
+                       bin_strategy="quantile", proximity_bin=5)
+    bms.fit_transform(logits, prox, gt)
+    tlogits = rng.normal(0, 2, (4, 5))
+    out = bms.transform(tlogits, np.array([0.1, 0.5, 0.7, 0.95]))
+    assert out.shape == (4, 5)
+    assert np.isfinite(out).all()
