@@ -35,7 +35,8 @@ def build_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
             return base_lr * 0.5 * (1.0 + math.cos(
                 math.pi * epoch / max_epoch))
         if name == "single_step":
-            ss = stepsize[0] if isinstance(stepsize, (tuple, list)) \
+            # Dassl single_step takes the LAST list element
+            ss = stepsize[-1] if isinstance(stepsize, (tuple, list)) \
                 else stepsize
             if ss <= 0:
                 return base_lr
@@ -56,11 +57,18 @@ def build_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
             if warmup_epoch > 0 and e < warmup_epoch:
                 if warmup_type == "constant":
                     table[e] = warmup_cons_lr
-                else:  # linear
-                    table[e] = warmup_min_lr + (
-                        base_lr - warmup_min_lr) * e / max(warmup_epoch, 1)
+                else:
+                    # Dassl LinearWarmupScheduler: min_lr at epoch 0,
+                    # then base_lr * e / warmup (no min_lr offset)
+                    table[e] = (warmup_min_lr if e == 0
+                                else base_lr * e / warmup_epoch)
             else:
-                table[e] = main_lr(e)
+                # Dassl's warmup wrapper steps the inner scheduler
+                # lazily: the first post-warmup epoch uses index 1, so
+                # the decay curve is shifted by warmup_epoch - 1
+                # (identity for the shipped WARMUP_EPOCH=1 configs)
+                shift = warmup_epoch - 1 if warmup_epoch > 0 else 0
+                table[e] = main_lr(e - shift)
         table_arr = jnp.asarray(table)
         return table_arr[jnp.clip(epoch, 0, max_epoch)]
 

@@ -44,7 +44,11 @@ class CLIP_Adapter(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        # the reference's check_cfg reads TRAINER.COOP.PREC here (its
+        # own quirk) — honor the same knob
+        self.compute_dtype = (jnp.float32
+                              if cfg.TRAINER.COOP.PREC == "fp32"
+                              else jnp.bfloat16)
         self.ratio = cfg.TRAINER.CLIP_ADAPTER.RATIO
 
         # fixed prompts -> constant text features
@@ -60,9 +64,10 @@ class CLIP_Adapter(VLBaseLearner):
 
         dim = ccfg.embed_dim
         k1, k2 = jax.random.split(jax.random.PRNGKey(max(cfg.SEED, 0)))
-        # kaiming-uniform-flavored init for the bottleneck
-        lim1 = (6.0 / dim) ** 0.5
-        lim2 = (6.0 / (dim // 4)) ** 0.5
+        # torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) =
+        # U(+-1/sqrt(fan_in)); bias=False in the reference Adapter
+        lim1 = (1.0 / dim) ** 0.5
+        lim2 = (1.0 / (dim // 4)) ** 0.5
         trainable = {
             "w1": jax.random.uniform(k1, (dim, dim // 4), jnp.float32,
                                      -lim1, lim1),

@@ -54,7 +54,8 @@ class CoCoOp(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
+                              else jnp.bfloat16)
 
         asm = build_prompt_assembly(classnames, tcfg.N_CTX, "end",
                                     tcfg.CTX_INIT, self.clip_params,
@@ -75,15 +76,20 @@ class CoCoOp(VLBaseLearner):
         hid = vis_dim // 16
         lim1 = (1.0 / vis_dim) ** 0.5
         lim2 = (1.0 / hid) ** 0.5
+        kb1, kb2 = jax.random.split(jax.random.fold_in(k1, 1))
         trainable = {
             "ctx": ctx,
+            # torch nn.Linear default init: weights AND biases from
+            # U(+-1/sqrt(fan_in)) (reference meta_net)
             "meta": {
                 "w1": jax.random.uniform(k1, (vis_dim, hid), jnp.float32,
                                          -lim1, lim1),
-                "b1": jnp.zeros((hid,), jnp.float32),
+                "b1": jax.random.uniform(kb1, (hid,), jnp.float32,
+                                         -lim1, lim1),
                 "w2": jax.random.uniform(k2, (hid, ctx_dim), jnp.float32,
                                          -lim2, lim2),
-                "b2": jnp.zeros((ctx_dim,), jnp.float32),
+                "b2": jax.random.uniform(kb2, (ctx_dim,), jnp.float32,
+                                         -lim2, lim2),
             },
         }
         steps = max(len(self.train_loader_x), 1)

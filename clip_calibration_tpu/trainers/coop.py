@@ -37,7 +37,8 @@ _tokenizer = CLIPTokenizer()
 
 def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
                           str, ctx_init: str, clip_params, compute_dtype,
-                          ctx_slots: int | None = None):
+                          ctx_slots: int | None = None,
+                          ctx_init_tail: bool = False):
     """Precompute everything needed to splice [SOS | ctx | class EOS] rows.
 
     ctx_slots: number of LEARNABLE positions when it differs from the init
@@ -45,6 +46,12 @@ def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
     vectors while "of a" stay frozen in the prompt — reference
     ``maple.py:93-101`` keeps them in token_suffix). Only meaningful with
     ctx_init and position "end".
+
+    ctx_init_tail: ProGrad's scheme (reference ``prograd.py:88-105``):
+    keep ALL n_ctx positions learnable, zero-initialized, with the init
+    phrase's token embeddings in the LAST len(phrase) slots and leading
+    "X" placeholders in the prompt text. (The reference copies
+    word-count-many TOKEN embeddings, a quirk mirrored here.)
 
     Returns dict with:
       embedding: [n_cls, 77, D] fp32 frozen token embeddings of the
@@ -55,7 +62,20 @@ def build_prompt_assembly(classnames, n_ctx: int, class_token_position:
       ctx_vectors: init value [n_ctx, D] (or None if ctx_init given -> the
         embedded init words), prompt_prefix: printable prefix.
     """
-    if ctx_init:
+    if ctx_init and ctx_init_tail:
+        ctx_init = ctx_init.replace("_", " ")
+        n_words = len(ctx_init.split(" "))
+        assert n_ctx >= n_words, (
+            f"#tokens ({n_ctx}) should larger equal than #initial "
+            f"prompt tokens ({n_words}, {ctx_init})")
+        init_toks = tokenize(ctx_init)
+        emb = np.asarray(clip_params["text"]["token_embedding"],
+                         np.float32)
+        ctx_vectors = np.zeros((n_ctx, emb.shape[1]), np.float32)
+        ctx_vectors[n_ctx - n_words:] = emb[init_toks[0, 1:1 + n_words]]
+        prompt_prefix = " ".join(
+            ["X"] * (n_ctx - n_words) + [ctx_init]).strip()
+    elif ctx_init:
         ctx_init = ctx_init.replace("_", " ")
         n_words = len(ctx_init.split(" "))
         n_ctx = n_words if ctx_slots is None else min(ctx_slots, n_words)
@@ -178,17 +198,12 @@ class CoOp(VLBaseLearner):
                 f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal clip_imsize "
                 f"({self.clip_cfg.image_resolution})")
 
-        # KgCoOp/ProGrad configs use CTX_INIT: True meaning "a photo of a"
-        # (reference kgcoop.py:102-105)
-        ctx_init = tcfg.CTX_INIT
-        if ctx_init is True:
-            ctx_init = "a photo of a"
-        elif ctx_init is False:
-            ctx_init = ""
+        ctx_init = self._resolve_ctx_init(tcfg)
         position = tcfg.get("CLASS_TOKEN_POSITION", "end")
         asm = build_prompt_assembly(
             classnames, tcfg.N_CTX, position, ctx_init,
-            self.clip_params, self.compute_dtype)
+            self.clip_params, self.compute_dtype,
+            **self._assembly_extra())
         self.asm = asm
         n_ctx = asm["n_ctx"]
         ctx_dim = self.clip_cfg.transformer_width
@@ -218,6 +233,21 @@ class CoOp(VLBaseLearner):
 
     def post_build(self):
         pass
+
+    def _resolve_ctx_init(self, tcfg) -> str:
+        """KgCoOp configs use CTX_INIT: True meaning "a photo of a"
+        (reference kgcoop.py:102-107); ProGrad overrides with its
+        dataset-template scheme."""
+        ctx_init = tcfg.CTX_INIT
+        if ctx_init is True:
+            return "a photo of a"
+        if ctx_init is False:
+            return ""
+        return ctx_init
+
+    def _assembly_extra(self) -> dict:
+        """Subclass hook: extra build_prompt_assembly kwargs."""
+        return {}
 
     def _text_features(self, frozen, trainable):
         prompts = assemble_prompts(trainable["ctx"], self.asm)

@@ -47,7 +47,8 @@ class MaPLe(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
+                              else jnp.bfloat16)
         self.depth = tcfg.PROMPT_DEPTH
         n_ctx = tcfg.N_CTX
         ctx_dim = self.clip_cfg.transformer_width
@@ -71,9 +72,12 @@ class MaPLe(VLBaseLearner):
             ctx = jax.random.normal(ks[0], (n_ctx, ctx_dim)) * 0.02
 
         lim = (1.0 / ctx_dim) ** 0.5
+        # torch nn.Linear default init: weights AND biases from
+        # U(+-1/sqrt(fan_in)) (reference self.proj / compound projections)
         proj_w = jax.random.uniform(ks[1], (ctx_dim, vis_dim), jnp.float32,
                                     -lim, lim)
-        proj_b = jnp.zeros((vis_dim,), jnp.float32)
+        proj_b = jax.random.uniform(jax.random.fold_in(ks[1], 1),
+                                    (vis_dim,), jnp.float32, -lim, lim)
         trainable = {"ctx": ctx, "proj_w": proj_w, "proj_b": proj_b}
         if self.depth > 1:
             trainable["compound_text"] = jax.random.normal(
@@ -81,10 +85,12 @@ class MaPLe(VLBaseLearner):
             # one shared init tiled across layers (reference _get_clones)
             one_w = jax.random.uniform(ks[3], (ctx_dim, vis_dim),
                                        jnp.float32, -lim, lim)
+            one_b = jax.random.uniform(jax.random.fold_in(ks[3], 1),
+                                       (vis_dim,), jnp.float32, -lim, lim)
             trainable["compound_proj_w"] = jnp.tile(
                 one_w[None], (self.depth - 1, 1, 1))
-            trainable["compound_proj_b"] = jnp.zeros(
-                (self.depth - 1, vis_dim), jnp.float32)
+            trainable["compound_proj_b"] = jnp.tile(
+                one_b[None], (self.depth - 1, 1))
 
         steps = max(len(self.train_loader_x), 1)
         opt, _ = build_optimizer(cfg, steps)

@@ -54,7 +54,8 @@ class ProDA(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
+                              else jnp.bfloat16)
 
         n_ctx = tcfg.N_CTX
         self.n_prompt = tcfg.N_PROMPT

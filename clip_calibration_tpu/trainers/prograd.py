@@ -47,6 +47,19 @@ class ProGrad(CoOp):
 
     trainer_cfg_key = "PROGRAD"
 
+    def _resolve_ctx_init(self, tcfg) -> str:
+        """Reference ProGrad (``prograd.py:88-105``): CTX_INIT truthy
+        means the DATASET's template phrase, embedded in the LAST slots
+        of a full-width zero-initialized N_CTX context (ctx_init_tail
+        below) — not KgCoOp's 4-token "a photo of a" collapse."""
+        if tcfg.CTX_INIT:
+            return (CUSTOM_TEMPLATES[self.cfg.DATASET.NAME]
+                    .replace(" {}.", "").replace("_", " "))
+        return ""
+
+    def _assembly_extra(self) -> dict:
+        return {"ctx_init_tail": True}
+
     def post_build(self):
         tcfg = self.trainer_cfg()
         self.T = tcfg.T

@@ -61,7 +61,8 @@ class PromptSRC(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
+                              else jnp.bfloat16)
         self.depth_text = tcfg.PROMPT_DEPTH_TEXT
         self.depth_vis = tcfg.PROMPT_DEPTH_VISION
         n_ctx_t = tcfg.N_CTX_TEXT

@@ -45,7 +45,9 @@ class TaskRes(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32
+                              if cfg.TRAINER.TaskRes.PREC == "fp32"
+                              else jnp.bfloat16)
         self.alpha = cfg.TRAINER.TaskRes.RESIDUAL_SCALE
         print(">> DCT scale factor: ", self.alpha)
 

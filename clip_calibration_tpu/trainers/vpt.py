@@ -44,7 +44,8 @@ class VPT(VLBaseLearner):
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
             cfg.MODEL.BACKBONE.NAME)
-        self.compute_dtype = jnp.bfloat16
+        self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
+                              else jnp.bfloat16)
         self.n_ctx = tcfg.N_CTX_VISION
         self.depth = tcfg.PROMPT_DEPTH_VISION
 

@@ -177,3 +177,26 @@ def test_assembly_class_specific_context(clip_small):
              np.asarray(ctx)[c][None],
              emb[c:c + 1, 1 + n_ctx:]], axis=1)[0]
         np.testing.assert_allclose(got[c], want_c, atol=1e-6)
+
+
+def test_prograd_ctx_init_tail_assembly():
+    """ProGrad's CTX_INIT scheme (reference prograd.py:88-105): ALL
+    n_ctx positions learnable, zero-initialized, with the init phrase's
+    token embeddings in the LAST slots and X placeholders leading."""
+    import jax
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.tokenizer import tokenize
+
+    cfg = M.PRESETS["ViT-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    asm = build_prompt_assembly(["cat", "dog"], 8, "end", "a photo of a",
+                                params, jnp.float32, ctx_init_tail=True)
+    cv = np.asarray(asm["ctx_vectors"])
+    assert cv.shape == (8, cfg.transformer_width)
+    assert asm["n_ctx"] == 8
+    np.testing.assert_array_equal(cv[:4], 0.0)
+    toks = tokenize("a photo of a")
+    emb = np.asarray(params["text"]["token_embedding"])[
+        np.asarray(toks)[0, 1:5]]
+    np.testing.assert_allclose(cv[4:], emb, rtol=1e-6)
+    assert asm["prompt_prefix"] == "X X X X a photo of a"

@@ -54,7 +54,11 @@ def test_trainer_smoke(workdir, trainer):
     elif trainer == "CoCoOp":
         extra = ["TRAINER.COCOOP.N_CTX", "4"]
     elif trainer == "ProGrad":
-        extra = ["TRAINER.PROGRAD.N_CTX", "4"]
+        # tiny n_ctx forces the random-init path: the reference's
+        # CTX_INIT scheme embeds the full dataset template (6 words for
+        # Synthetic) and asserts n_ctx >= phrase length
+        extra = ["TRAINER.PROGRAD.N_CTX", "4",
+                 "TRAINER.PROGRAD.CTX_INIT", "False"]
     elif trainer == "MaPLe":
         extra = ["TRAINER.MAPLE.PROMPT_DEPTH", "2"]  # ViT-Test: 2 layers
     elif trainer == "PromptSRC":
