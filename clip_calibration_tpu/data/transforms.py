@@ -27,10 +27,13 @@ _PIL_INTERP = {
 
 def _resize_shorter(img: Image.Image, size: int, interp) -> Image.Image:
     w, h = img.size
+    # torchvision truncates the long side (int(size * long / short),
+    # _compute_resized_output_size) — round() differs on ~half of
+    # non-square images by one pixel
     if w <= h:
-        nw, nh = size, max(1, round(h * size / w))
+        nw, nh = size, max(1, int(h * size / w))
     else:
-        nw, nh = max(1, round(w * size / h)), size
+        nw, nh = max(1, int(w * size / h)), size
     return img.resize((nw, nh), interp)
 
 
@@ -59,7 +62,8 @@ def _random_resized_crop(img: Image.Image, size: Tuple[int, int],
             top = random.randint(0, h - ch)
             img = img.crop((left, top, left + cw, top + ch))
             return img.resize((size[1], size[0]), interp)
-    # fallback: center crop to the constrained aspect
+    # fallback: center crop to the constrained aspect; torchvision uses
+    # floor-div offsets here (unlike CenterCrop's round)
     in_ratio = w / h
     if in_ratio < 3 / 4:
         cw, ch = w, int(round(w / (3 / 4)))
@@ -67,7 +71,8 @@ def _random_resized_crop(img: Image.Image, size: Tuple[int, int],
         cw, ch = int(round(h * 4 / 3)), h
     else:
         cw, ch = w, h
-    img = _center_crop(img, (ch, cw))
+    left, top = (w - cw) // 2, (h - ch) // 2
+    img = img.crop((left, top, left + cw, top + ch))
     return img.resize((size[1], size[0]), interp)
 
 
@@ -79,6 +84,15 @@ def build_transform(cfg, is_train: bool) -> Callable[[Image.Image],
     transforms = tuple(cfg.INPUT.TRANSFORMS)
     scale = tuple(cfg.INPUT.RRCROP_SCALE)
 
+    known = {"random_resized_crop", "random_flip", "normalize"}
+    unknown = set(transforms) - known
+    if unknown:
+        # silently substituting a different pipeline would train on
+        # different pixels than the (Dassl) reference with no diagnostic
+        raise ValueError(
+            f"Unsupported INPUT.TRANSFORMS {sorted(unknown)}; "
+            f"supported: {sorted(known)}")
+
     use_rrc = is_train and "random_resized_crop" in transforms
     use_flip = is_train and "random_flip" in transforms
 
@@ -86,8 +100,14 @@ def build_transform(cfg, is_train: bool) -> Callable[[Image.Image],
         img = img.convert("RGB")
         if use_rrc:
             img = _random_resized_crop(img, size, scale, interp)
+        elif is_train:
+            # Dassl's train pipeline without random_resized_crop squash-
+            # resizes the full image to INPUT.SIZE (no crop)
+            img = img.resize((size[1], size[0]), interp)
         else:
-            img = _resize_shorter(img, size[0], interp)
+            # Dassl test pipeline: shorter side to max(INPUT.SIZE),
+            # then center-crop to INPUT.SIZE
+            img = _resize_shorter(img, max(size), interp)
             img = _center_crop(img, size)
         if use_flip and random.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
