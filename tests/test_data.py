@@ -240,3 +240,23 @@ def test_multihost_loader_slices_reassemble(tmp_path):
         merged_img = np.concatenate([b0["img"], b1["img"]])
         np.testing.assert_array_equal(merged_img, b["img"])
         assert b0["n_real"] == b1["n_real"] == b["n_real"]
+
+
+def test_resize_semantics_match_torchvision():
+    """Shorter-side resize truncates the long side like torchvision's
+    _compute_resized_output_size (int, not round)."""
+    from clip_calibration_tpu.data.transforms import _resize_shorter
+    img = Image.new("RGB", (640, 480))
+    out = _resize_shorter(img, 224, Image.BICUBIC)
+    assert out.size == (298, 224)  # round() would give 299
+    img = Image.new("RGB", (480, 640))
+    out = _resize_shorter(img, 224, Image.BICUBIC)
+    assert out.size == (224, 298)
+
+
+def test_unknown_transform_raises(tmp_path):
+    from clip_calibration_tpu.data.transforms import build_transform
+    cfg = get_cfg_default()
+    cfg.INPUT.TRANSFORMS = ("random_crop", "normalize")
+    with pytest.raises(ValueError, match="Unsupported INPUT.TRANSFORMS"):
+        build_transform(cfg, is_train=True)
