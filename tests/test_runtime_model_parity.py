@@ -138,3 +138,67 @@ def test_random_modified_resnet_parity(arch):
     out = modified_resnet_forward(params, cfg, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4,
                                atol=2e-4)
+
+
+IVLP_ARCHS = [
+    # (embed, res, vlayers, vwidth, patch, twidth, theads, tlayers,
+    #  vocab, depth, n_ctx)
+    (32, 32, 3, 64, 8, 48, 4, 3, 500, 2, 2),
+    (32, 48, 4, 64, 16, 48, 4, 4, 500, 3, 4),
+]
+
+
+@pytest.mark.parametrize("arch", IVLP_ARCHS, ids=["d2c2", "d3c4"])
+def test_random_ivlp_prompt_injection_parity(arch):
+    """The uniform splice interface must reproduce the reference's IVLP
+    blocks (learnable per-layer prompts replacing the previous layer's,
+    clip/model.py:191-256) at depths/ctx sizes beyond the committed
+    fixture — prompts extracted from the reference model's own state."""
+    import torch
+    (embed, res, vlayers, vwidth, patch, twidth, theads, tlayers,
+     vocab, depth, n_ctx) = arch
+    mod = _ref_model_module()
+    torch.manual_seed(depth * 31 + n_ctx)
+    dd = {"trainer": "IVLP", "vision_depth": depth,
+          "language_depth": depth, "vision_ctx": n_ctx,
+          "language_ctx": n_ctx}
+    ref = mod.CLIP(embed, res, vlayers, vwidth, patch, 77, vocab,
+                   twidth, theads, tlayers, dd).float().eval()
+
+    rng = np.random.default_rng(depth)
+    imgs = rng.normal(0, 1, (2, res, res, 3)).astype(np.float32)
+    toks = _tokens(rng, 3, vocab)
+    with torch.no_grad():
+        ref_img = ref.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(toks)).numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    backbone_sd = {k: v for k, v in sd.items() if "VPT" not in k}
+    from clip_calibration_tpu.models.weights import (
+        config_from_torch_state_dict)
+    cfg = dataclasses.replace(config_from_torch_state_dict(backbone_sd),
+                              transformer_heads=theads)
+    params, cfg = convert_torch_clip(backbone_sd, "float32", cfg=cfg)
+
+    shallow = jnp.asarray(sd["visual.VPT"])
+    deep_vis = jnp.stack(
+        [jnp.asarray(sd[f"visual.transformer.resblocks.{i}.VPT_shallow"])
+         for i in range(1, depth)])
+    img_f = M.encode_image(params, cfg, jnp.asarray(imgs),
+                           shallow_prompts=shallow,
+                           deep_prompts=deep_vis,
+                           deep_prompt_depth=depth, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(img_f), ref_img,
+                               rtol=3e-4, atol=3e-4)
+
+    deep_txt = jnp.stack(
+        [jnp.asarray(sd[f"transformer.resblocks.{i}.VPT_shallow"])
+         for i in range(1, depth)])
+    x = M.embed_tokens(params, jnp.asarray(toks), jnp.float32)
+    txt_f = M.encode_text_embedded(params, cfg, x,
+                                   jnp.argmax(jnp.asarray(toks), -1),
+                                   deep_prompts=deep_txt,
+                                   deep_prompt_depth=depth)
+    np.testing.assert_allclose(np.asarray(txt_f), ref_txt,
+                               rtol=3e-4, atol=3e-4)
