@@ -21,7 +21,6 @@ host-side geometry.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import numpy as np
@@ -102,7 +101,6 @@ class Predictor:
             return probs
 
         if mesh is None:
-            self._encode = jax.jit(encode)
             self._predict_step = jax.jit(predict_step)
         else:
             from .parallel.mesh import data_sharding, replicated
@@ -110,9 +108,6 @@ class Predictor:
             repl = replicated(mesh)
             self.params = jax.device_put(self.params, repl)
             self._batch_sharding = data_sharding(mesh)
-            self._encode = jax.jit(
-                encode, in_shardings=(repl, self._batch_sharding),
-                out_shardings=repl)
             self._predict_step = jax.jit(
                 predict_step,
                 in_shardings=(repl, repl, self._batch_sharding, repl,
@@ -149,6 +144,15 @@ class Predictor:
         asm = build_prompt_assembly(self.classnames, n_ctx,
                                     class_token_position, ctx_init,
                                     self.params, self.dtype)
+        # jit gathers CLAMP out-of-bounds indices, so a layout mismatch
+        # would silently duplicate context rows — validate instead
+        want = ((len(self.classnames), asm["n_ctx"])
+                if ctx.ndim == 3 else (asm["n_ctx"],))
+        if tuple(ctx.shape[:-1]) != want:
+            raise ValueError(
+                f"checkpoint ctx shape {tuple(ctx.shape)} does not fit "
+                f"the assembled prompt layout (expected leading dims "
+                f"{want}); check n_ctx/ctx_init/classnames")
         prompts = assemble_prompts(ctx, asm)
         txt = jax.jit(lambda p, pr, eot: M.normalize(
             M.encode_text_embedded(p, self.cfg, pr, eot,
@@ -167,6 +171,12 @@ class Predictor:
         if images.dtype != np.uint8:
             raise ValueError("Predictor.predict expects uint8 images; "
                              "apply host-side geometry first")
+        res = self.cfg.image_resolution
+        if images.ndim != 4 or images.shape[1:3] != (res, res):
+            raise ValueError(
+                f"expected [N, {res}, {res}, 3] images; got "
+                f"{images.shape} — resize host-side "
+                f"(data/transforms.build_transform)")
         n = images.shape[0]
         if n == 0:  # upstream filters can legitimately drop every image
             n_cls = len(self.classnames)
@@ -242,8 +252,9 @@ class TrainerPredictor:
                 batch = np.concatenate([batch, pad])
             out, _, _ = self.trainer.model_inference(batch)
             pending.append(out)  # async dispatch; fetch after the loop
+        from .parallel.mesh import to_host_global
         logits = np.concatenate(
-            [np.asarray(p, np.float32) for p in pending])[:n]
+            [to_host_global(p).astype(np.float32) for p in pending])[:n]
         if self.class_confidence is not None:
             logits = logits * self.class_confidence[
                 logits.argmax(axis=1)][:, None]

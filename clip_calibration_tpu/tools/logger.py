@@ -31,6 +31,13 @@ class Logger:
     def __del__(self):
         self.close()
 
+    def __getattr__(self, name):
+        # delegate isatty/fileno/encoding/... so libraries probing
+        # sys.stdout keep working after the tee is installed
+        if name == "console":  # not yet set during __init__
+            raise AttributeError(name)
+        return getattr(self.console, name)
+
     def write(self, msg):
         self.console.write(msg)
         if self.file is not None:

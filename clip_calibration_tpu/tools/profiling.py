@@ -5,8 +5,11 @@ The reference has no profiling beyond wall-clock elapsed
 ``jax.profiler`` traces (viewable in TensorBoard/XProf/Perfetto) plus a
 lightweight step timer.
 
-Enable via config: ``TPU.PROFILE_DIR <dir>`` traces the first
-``TPU.PROFILE_STEPS`` train steps of epoch 0.
+The config-driven path (``TPU.PROFILE_DIR <dir>`` traces the first
+``TPU.PROFILE_STEPS`` train steps of epoch 0) lives inline in
+``engine/trainer.py::run_epoch`` — it must drain the async dispatch
+queue before closing the trace. The helpers here are for ad-hoc /
+notebook profiling of arbitrary code blocks.
 """
 
 from __future__ import annotations

@@ -73,12 +73,19 @@ def main():
     if ctx is not None:
         layers.append(("shallow ctx", np.asarray(ctx, np.float32)))
 
-    # per-layer compound/deep text prompts (MaPLe / PromptSRC)
+    # per-layer compound/deep text prompts (MaPLe / PromptSRC); the
+    # reference's torch MaPLe checkpoints store them as
+    # compound_prompts_text.<i> (unflattened to a nested dict here)
     for key in ("compound_text", "deep_text"):
         if key in state:
             stack = np.asarray(state[key], np.float32)
             for i in range(stack.shape[0]):
                 layers.append((f"layer {i + 1} ({key})", stack[i]))
+    ref = state.get("compound_prompts_text")
+    if isinstance(ref, dict):
+        for i in sorted(ref, key=int):
+            layers.append((f"layer {int(i) + 1} (compound_prompts_text)",
+                           np.asarray(ref[i], np.float32)))
 
     if not layers:
         print("No prompt vectors found in checkpoint; keys:",
