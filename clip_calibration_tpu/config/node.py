@@ -73,6 +73,9 @@ class CfgNode(dict):
         out = CfgNode()
         for k, v in self.items():
             out[k] = v.clone() if isinstance(v, CfgNode) else copy.deepcopy(v)
+        # yacs clone() deepcopies, preserving immutability
+        if self.is_frozen():
+            out._set_frozen(True)
         return out
 
     def merge_from_file(self, path: str) -> None:
@@ -86,6 +89,8 @@ class CfgNode(dict):
         self._merge_dict(other, [])
 
     def merge_from_list(self, opts: List[Any]) -> None:
+        if self.is_frozen():
+            raise AttributeError("Cannot merge into a frozen CfgNode")
         if len(opts) % 2 != 0:
             raise ValueError(f"Override list has odd length: {opts}")
         for key, value in zip(opts[0::2], opts[1::2]):
@@ -104,6 +109,8 @@ class CfgNode(dict):
             dict.__setitem__(node, leaf, _coerce(_decode(value), old, key))
 
     def _merge_dict(self, src: dict, trail: List[str]) -> None:
+        if self.is_frozen():
+            raise AttributeError("Cannot merge into a frozen CfgNode")
         for k, v in src.items():
             full = ".".join(trail + [str(k)])
             if k not in self:
@@ -157,21 +164,25 @@ def _decode(value: Any) -> Any:
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):
-        pass
-    try:
-        parsed = yaml.safe_load(value)
-    except yaml.YAMLError:
+        # yacs keeps the string on literal_eval failure — a yaml
+        # fallback here would turn string leaves like "no"/"null" into
+        # bool/None
         return value
-    return parsed if not isinstance(parsed, str) else value
 
 
 def _coerce(new: Any, old: Any, key: str) -> Any:
     if old is None or new is None:
+        # a mapping replacing a None leaf must become a CfgNode, or
+        # attribute access and freeze recursion break on the subtree
+        if isinstance(new, dict) and not isinstance(new, CfgNode):
+            return CfgNode(new)
         return new
     if isinstance(new, _VALID_SCALARS) and type(new) is type(old):
         return new
-    # allowed widenings / conversions (yacs-compatible)
-    if isinstance(old, float) and isinstance(new, int):
+    # allowed widenings / conversions (yacs-compatible); bool is NOT an
+    # int here — a stray "True" must not become LR=1.0
+    if isinstance(old, float) and isinstance(new, int) \
+            and not isinstance(new, bool):
         return float(new)
     if isinstance(old, tuple) and isinstance(new, list):
         return tuple(new)

@@ -36,7 +36,14 @@ def _search_dirs():
 
 
 def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
-    """Returns (params, CLIPConfig) for the named backbone."""
+    """Returns (params, CLIPConfig) for the named backbone.
+
+    dtype_str ("bfloat16" | "float32" | "float16") sets the matmul-
+    weight dtype for the .pt conversion and random-init paths — fp32
+    runs must load fp32 weights or exact parity is impossible
+    (trainers pass it from their PREC / MODEL.PRECISION setting). npz
+    checkpoints load at their STORED dtype: a bf16-saved npz cannot
+    recover fp32 precision, so save fp32 npz files for fp32 runs."""
     if backbone_name not in PRESETS:
         raise KeyError(
             f"Unknown backbone {backbone_name!r}; known: "
@@ -61,5 +68,6 @@ def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
     import zlib
     seed = zlib.crc32(backbone_name.encode()) % (2 ** 31)
     import jax.numpy as jnp
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_str]
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "float16": jnp.float16}[dtype_str]
     return init_clip(jax.random.PRNGKey(seed), cfg, dtype=dtype), cfg

@@ -58,7 +58,8 @@ class Predictor:
         if mesh is not None:
             n_data = mesh.shape["data"]
             self.batch_size = -(-self.batch_size // n_data) * n_data
-        self.params, self.cfg = load_clip_backbone(backbone)
+        self.params, self.cfg = load_clip_backbone(
+            backbone, "float32" if precision == "fp32" else "bfloat16")
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
 

@@ -61,17 +61,19 @@ def _load_feature_dict(path: str) -> dict:
 
 
 @functools.lru_cache(maxsize=2)
-def _zs_clip_cached(backbone_name: str, ckpt_dir: str | None):
-    return load_clip_backbone(backbone_name)
+def _zs_clip_cached(backbone_name: str, ckpt_dir: str | None,
+                    dtype_str: str = "bfloat16"):
+    return load_clip_backbone(backbone_name, dtype_str)
 
 
-def _zs_clip(backbone_name: str):
+def _zs_clip(backbone_name: str, precision: str = "bf16"):
     """Frozen zero-shot CLIP for calibration text features (reference
     ``tools/zsclip_encoder.py:29-48``), cached per backbone. The cache
     key includes CLIP_CHECKPOINT_DIR so switching weight dirs within one
     process (tests, notebooks) never serves stale params."""
-    return _zs_clip_cached(backbone_name,
-                           os.environ.get("CLIP_CHECKPOINT_DIR"))
+    return _zs_clip_cached(
+        backbone_name, os.environ.get("CLIP_CHECKPOINT_DIR"),
+        "float32" if precision == "fp32" else "bfloat16")
 
 
 def encode_classnames_zs(backbone_name: str, dataset_name: str,
@@ -80,7 +82,7 @@ def encode_classnames_zs(backbone_name: str, dataset_name: str,
     """Zero-shot text features for the given class names, normalized."""
     import jax
     import jax.numpy as jnp
-    params, ccfg = _zs_clip(backbone_name)
+    params, ccfg = _zs_clip(backbone_name, precision)
     dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
     temp = template or build_clip_templates(dataset_name)
     prompts = [temp.format(c.replace("_", " ")) for c in classnames]

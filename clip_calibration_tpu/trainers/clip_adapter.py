@@ -43,7 +43,8 @@ class CLIP_Adapter(VLBaseLearner):
         classnames = self.dm.dataset.classnames
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
-            cfg.MODEL.BACKBONE.NAME)
+            cfg.MODEL.BACKBONE.NAME,
+            "float32" if cfg.TRAINER.COOP.PREC == "fp32" else "bfloat16")
         # the reference's check_cfg reads TRAINER.COOP.PREC here (its
         # own quirk) — honor the same knob
         self.compute_dtype = (jnp.float32

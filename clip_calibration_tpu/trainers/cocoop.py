@@ -53,7 +53,8 @@ class CoCoOp(VLBaseLearner):
         classnames = self.dm.dataset.classnames
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
-            cfg.MODEL.BACKBONE.NAME)
+            cfg.MODEL.BACKBONE.NAME,
+            "float32" if tcfg.PREC == "fp32" else "bfloat16")
         self.compute_dtype = (jnp.float32 if tcfg.PREC == "fp32"
                               else jnp.bfloat16)
 

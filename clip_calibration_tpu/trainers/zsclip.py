@@ -33,7 +33,8 @@ class ZeroshotCLIP(VLBaseLearner):
 
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_clip_backbone(
-            cfg.MODEL.BACKBONE.NAME)
+            cfg.MODEL.BACKBONE.NAME,
+            "float32" if cfg.MODEL.PRECISION == "fp32" else "bfloat16")
 
         temp = CUSTOM_TEMPLATES[cfg.DATASET.NAME]
         prompts = [temp.format(c.replace("_", " ")) for c in classnames]
