@@ -69,9 +69,17 @@ def _byte_unicode_table() -> Dict[int, str]:
     return table
 
 
-# markers of UTF-8 text mis-decoded as a single-byte codepage: lead-byte
-# letters (Ã, Â, â, ...) and stray C1 controls
-_MOJIBAKE_MARKS = re.compile("[Â-Åâ-]")
+# Mojibake detector: UTF-8 lead byte followed by a continuation byte,
+# both as mis-decoded single-byte-codepage characters. Lead bytes
+# 0xC2-0xEF render as latin-1 letters (Â-ï); continuation bytes
+# 0x80-0xBF render as latin-1 U+0080-U+00BF or, under cp1252, as its
+# printable remappings of 0x80-0x9F. Counting PAIRS (not lone accented
+# letters) keeps legitimate accents out: an isolated accent has a
+# plain-ASCII neighbor and never forms a pair.
+_CONT_CHARS = "".join(chr(c) for c in range(0x80, 0xC0)) + "".join(
+    bytes([b]).decode("cp1252", "ignore") for b in range(0x80, 0xA0))
+_MOJIBAKE_MARKS = re.compile(
+    "[\xc2-\xef][" + re.escape(_CONT_CHARS) + "]")
 
 
 def _c1_passthrough(err):
