@@ -206,6 +206,7 @@ class TrainerX:
         end = window_start = time.time()
         window_steps = 0
         window_data = 0.0
+        loss_summary = None  # stays None if the loader yields no batch
         for self.batch_idx, batch in enumerate(
                 self._device_staged(self.train_loader_x)):
             window_data += time.time() - end  # decode/prefetch wait
@@ -242,7 +243,8 @@ class TrainerX:
             end = time.time()
         if profiling:  # epoch shorter than PROFILE_STEPS
             import jax
-            jax.block_until_ready(loss_summary)
+            if loss_summary is not None:
+                jax.block_until_ready(loss_summary)
             jax.profiler.stop_trace()
         # honest throughput: per-step prints exclude the lazy loss-fetch
         # drain, so wall/steps is the number to trust (first epoch also

@@ -367,12 +367,13 @@ def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,
                 dtype=jnp.bfloat16, seq_len: Optional[int] = None
                 ) -> jnp.ndarray:
     """Raw-token text encode (reference ``clip/model.py:598-613``)."""
-    if seq_len is not None and seq_len < tokens.shape[1]:
-        # EOT is the max token id, so truncation past it preserves argmax
-        tokens = tokens[:, :seq_len]
     x = embed_tokens(params, tokens, dtype)
+    # EOT position from the UNTRUNCATED row (EOT is the max token id);
+    # truncation happens inside encode_text_embedded, whose concrete-eot
+    # guard then rejects a seq_len that would drop a row's EOT instead
+    # of silently pooling a clamped position.
     eot_pos = jnp.argmax(tokens, axis=-1)
-    return encode_text_embedded(params, cfg, x, eot_pos)
+    return encode_text_embedded(params, cfg, x, eot_pos, seq_len=seq_len)
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:

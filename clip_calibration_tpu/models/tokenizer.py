@@ -70,16 +70,17 @@ def _byte_unicode_table() -> Dict[int, str]:
 
 
 # Mojibake detector: UTF-8 lead byte followed by a continuation byte,
-# both as mis-decoded single-byte-codepage characters. Lead bytes
-# 0xC2-0xEF render as latin-1 letters (Â-ï); continuation bytes
-# 0x80-0xBF render as latin-1 U+0080-U+00BF or, under cp1252, as its
-# printable remappings of 0x80-0x9F. Counting PAIRS (not lone accented
-# letters) keeps legitimate accents out: an isolated accent has a
-# plain-ASCII neighbor and never forms a pair.
+# both as mis-decoded single-byte-codepage characters. Valid lead bytes
+# 0xC2-0xF4 render as latin-1 letters (Â-ï for 2/3-byte sequences,
+# ð-ô for the 4-byte emoji/astral range); continuation bytes 0x80-0xBF
+# render as latin-1 U+0080-U+00BF or, under cp1252, as its printable
+# remappings of 0x80-0x9F. Counting PAIRS (not lone accented letters)
+# keeps legitimate accents out: an isolated accent has a plain-ASCII
+# neighbor and never forms a pair.
 _CONT_CHARS = "".join(chr(c) for c in range(0x80, 0xC0)) + "".join(
     bytes([b]).decode("cp1252", "ignore") for b in range(0x80, 0xA0))
 _MOJIBAKE_MARKS = re.compile(
-    "[\xc2-\xef][" + re.escape(_CONT_CHARS) + "]")
+    "[\xc2-\xf4][" + re.escape(_CONT_CHARS) + "]")
 
 
 def _c1_passthrough(err):

@@ -34,6 +34,12 @@ from .models.tokenizer import tokenize
 from .ops.preprocess import normalize_images
 from .ops.scoring import fused_dac_scores
 
+# Max in-flight chunks per predict() call: enough to overlap transfers
+# with compute, small enough that the enqueued uint8 input buffers never
+# pressure HBM on very large image sets (each pending chunk pins its
+# input batch on device until fetched).
+_MAX_IN_FLIGHT = 4
+
 
 class Predictor:
     """Batched calibrated image classification over fixed classnames.
@@ -193,10 +199,11 @@ class Predictor:
         if conf is None:
             conf = jnp.ones((len(self.classnames),), jnp.float32)
 
-        # dispatch every chunk (async), then fetch — transfers overlap
-        # the remaining compute instead of syncing per chunk
+        # dispatch chunks async with a bounded in-flight window —
+        # transfers overlap the remaining compute without letting the
+        # queued input buffers accumulate on device
         bs = self.batch_size
-        pending = []
+        pending, done = [], []
         for i in range(0, n, bs):
             batch = images[i:i + bs]
             if batch.shape[0] < bs:  # pad: static shapes, no retrace
@@ -205,8 +212,10 @@ class Predictor:
             pending.append(self._predict_step(
                 self.params, self.text_features, jnp.asarray(batch),
                 scale, conf))
-        probs = np.concatenate(
-            [np.asarray(p, np.float32) for p in pending])[:n]
+            if len(pending) >= _MAX_IN_FLIGHT:
+                done.append(np.asarray(pending.pop(0), np.float32))
+        done.extend(np.asarray(p, np.float32) for p in pending)
+        probs = np.concatenate(done)[:n]
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}
@@ -244,18 +253,21 @@ class TrainerPredictor:
             return {"probs": np.zeros((0, n_cls), np.float32),
                     "preds": np.zeros((0,), np.int64),
                     "confidences": np.zeros((0,), np.float32)}
+        from .parallel.mesh import to_host_global
         bs = self.batch_size
-        pending = []
+        pending, done = [], []
         for i in range(0, n, bs):
             batch = images[i:i + bs]
             if batch.shape[0] < bs:  # pad: static shapes, no retrace
                 pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
                 batch = np.concatenate([batch, pad])
             out, _, _ = self.trainer.model_inference(batch)
-            pending.append(out)  # async dispatch; fetch after the loop
-        from .parallel.mesh import to_host_global
-        logits = np.concatenate(
-            [to_host_global(p).astype(np.float32) for p in pending])[:n]
+            pending.append(out)  # async dispatch; bounded window
+            if len(pending) >= _MAX_IN_FLIGHT:
+                done.append(
+                    to_host_global(pending.pop(0)).astype(np.float32))
+        done.extend(to_host_global(p).astype(np.float32) for p in pending)
+        logits = np.concatenate(done)[:n]
         if self.class_confidence is not None:
             logits = logits * self.class_confidence[
                 logits.argmax(axis=1)][:, None]

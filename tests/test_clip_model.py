@@ -278,3 +278,15 @@ def test_eot_truncation_rejects_dropped_eot(golden, converted):
     bad = int(np.max(np.asarray(eot)))  # == max EOT -> drops it
     with pytest.raises(ValueError, match="drops an EOT"):
         M.encode_text_embedded(params, cfg, x, eot, seq_len=bad)
+
+
+def test_encode_text_raw_tokens_rejects_dropped_eot(golden, converted):
+    """The raw-token path must guard too: eot_pos comes from the
+    UNTRUNCATED tokens, so a too-small seq_len trips the embedded path's
+    concrete-eot ValueError instead of argmaxing a truncated window and
+    silently pooling a wrong position (ADVICE r2 item 1)."""
+    params, cfg = converted
+    toks = jnp.asarray(golden["toks"])
+    bad = int(np.asarray(toks).argmax(-1).max())  # == max EOT -> drops it
+    with pytest.raises(ValueError, match="drops an EOT"):
+        M.encode_text(params, cfg, toks, dtype=jnp.float32, seq_len=bad)

@@ -82,3 +82,16 @@ def test_fix_text_mojibake_repair():
     assert _fix_text("Gro\u00c3\u009fe") == "Gro\u00dfe"
     # cp1252 smart quotes incl. the 0x9D undefined-byte gap
     assert _fix_text("\u00e2\u20ac\u0153q\u00e2\u20ac\u009d") == "\u201cq\u201d"
+
+
+def test_fix_text_four_byte_mojibake():
+    """4-byte UTF-8 mojibake (emoji / astral plane, lead bytes 0xF0-0xF4
+    rendering as latin-1 ð-ô) must be repaired like the 2/3-byte ranges
+    (ADVICE r2 item 2; ftfy fixes these)."""
+    from clip_calibration_tpu.models.tokenizer import _fix_text
+    # 😀 U+1F600 = F0 9F 98 80 mis-decoded as cp1252
+    assert _fix_text("ðŸ˜€") == "\U0001f600"
+    # 🚀 U+1F680 = F0 9F 9A 80
+    assert _fix_text("ðŸš€") == "\U0001f680"
+    # correct astral text stays untouched
+    assert _fix_text("\U0001f600 ok") == "\U0001f600 ok"
