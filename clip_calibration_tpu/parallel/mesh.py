@@ -123,6 +123,31 @@ def class_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("model"))
 
 
+def fanout_shardings(mesh: Optional[Mesh]):
+    """Sharding constraints for the big text-encode fan-outs (SURVEY
+    §5.8: CoCoOp's per-image n_cls encodes, reference ``cocoop.py:
+    193-199``; ProDA's n_cls x P prompt blowup, ``proda.py:163``), or
+    None when the mesh has no model axis > 1 (DP-only — constraints
+    would be no-ops, skip the tracing overhead).
+
+    - ``class``: [n_cls, ...] fan-outs shard the class axis over the
+      "model" mesh axis (ProDA; every row of the text tower is
+      independent, so this is pure row parallelism — XLA inserts the
+      collectives only where the sharded text features meet the
+      data-sharded image features in the logits matmul).
+    - ``chunk_class``: [chunk, n_cls, ...] per-image fan-outs shard
+      images over "data" AND classes over "model" (CoCoOp) — the full
+      mesh works on one chunk's text rows.
+    """
+    if mesh is None or dict(zip(mesh.axis_names,
+                                mesh.devices.shape)).get("model", 1) <= 1:
+        return None
+    return {
+        "class": class_sharding(mesh),
+        "chunk_class": NamedSharding(mesh, P("data", "model")),
+    }
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

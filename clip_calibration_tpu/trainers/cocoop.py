@@ -9,9 +9,12 @@ TPU-first: the reference loops per image in Python; here the per-image
 n_cls x 77-token text encodes run under ``jax.lax.map`` over CHUNKS of
 images — each step feeds one (chunk * n_cls)-row batch to the text tower
 (~512 prompt rows: a single image's prompts underfill the MXU, all
-B * n_cls at once is an HBM spike at ImageNet scale). For multi-chip,
-the class axis of each encode shards over the "model" mesh axis (see
-parallel/mesh.py).
+B * n_cls at once is an HBM spike at ImageNet scale). For multi-chip
+meshes with a model axis > 1 (``TPU.MESH_SHAPE`` e.g. (4, 2)), each
+chunk's fan-out is sharding-constrained in ``_forward``: images over
+"data", classes over "model" (``parallel/mesh.fanout_shardings``), so
+the whole mesh works on every text-tower call; sharded == unsharded is
+asserted by tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -138,6 +141,8 @@ class CoCoOp(VLBaseLearner):
                                      (pad,) + img_f.shape[1:])]
         ) if pad else img_f
 
+        fanout = self._fanout  # class-axis sharding (model axis > 1)
+
         def per_chunk(args):
             ctx_c, imf_c = args                     # [chunk, n_ctx, D]
             tiled = jnp.broadcast_to(
@@ -149,11 +154,20 @@ class CoCoOp(VLBaseLearner):
                  tiled,
                  jnp.broadcast_to(emb[None, :, 1 + n_ctx:],
                                   (chunk,) + emb[:, 1 + n_ctx:].shape)],
-                axis=2).reshape(chunk * n_cls, emb.shape[1], -1)
+                axis=2)                     # [chunk, n_cls, 77, D]
+            if fanout is not None:
+                # images over "data", classes over "model": the full
+                # mesh splits this chunk's text-tower rows (SURVEY §5.8)
+                prompts = jax.lax.with_sharding_constraint(
+                    prompts, fanout["chunk_class"])
+            prompts = prompts.reshape(chunk * n_cls, emb.shape[1], -1)
             eot = jnp.tile(asm["eot_pos"], chunk)
             txt_f = M.encode_text_embedded(frozen, ccfg, prompts, eot,
                                            seq_len=asm["seq_len"])
             txt_n = M.normalize(txt_f).reshape(chunk, n_cls, -1)
+            if fanout is not None:
+                txt_n = jax.lax.with_sharding_constraint(
+                    txt_n, fanout["chunk_class"])
             l_c = scale * jnp.einsum(
                 "cd,cnd->cn", imf_c.astype(jnp.float32),
                 txt_n.astype(jnp.float32))
@@ -174,6 +188,9 @@ class CoCoOp(VLBaseLearner):
         return logits, img_f, txt_last
 
     def _build_steps(self):
+        from ..parallel.mesh import fanout_shardings
+        self._fanout = fanout_shardings(self.mesh)
+
         def loss_fn(trainable, frozen, images, labels):
             logits, _, _ = self._forward(trainable, frozen, images)
             return optax.softmax_cross_entropy_with_integer_labels(

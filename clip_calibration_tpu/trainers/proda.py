@@ -14,7 +14,12 @@ all prompts (``proda.py:315-331``), invoked by the test pipeline.
 TPU-first: the reference assembles prompts with per-class Python loops
 per step; here the three position variants are precomputed gather maps
 (stacked [3, n_cls, 77]) and each step is one fused gather+select, with
-the (prompt x class) text encode batched onto the MXU.
+the (prompt x class) text encode batched onto the MXU. On meshes with a
+model axis > 1 (``TPU.MESH_SHAPE`` e.g. (4, 2)) the n_cls x P fan-out
+is sharding-constrained class-axis-over-"model" inside
+``_text_features_all`` (``parallel/mesh.fanout_shardings``), for both
+the train step and the eval ``set_classifier`` sweep; sharded ==
+unsharded is asserted by tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -136,16 +141,28 @@ class ProDA(VLBaseLearner):
         layer inputs instead of every layer's intermediates."""
         prompts = self._assemble(ctx_batch, pos_batch)
         n_cls, P, L, D = prompts.shape
+        if self._fanout is not None:
+            # class axis over the "model" mesh axis (SURVEY §5.8): the
+            # tower rows are independent, so this is pure row
+            # parallelism over classes
+            prompts = jax.lax.with_sharding_constraint(
+                prompts, self._fanout["class"])
         flat = prompts.reshape(n_cls * P, L, D)
         eot = jnp.repeat(self.eot_pos, P)
         txt = M.encode_text_embedded(
             frozen, self.clip_cfg, flat, eot,
             remat=n_cls * P >= _REMAT_MIN_TEXT_ROWS,
             seq_len=self.seq_len)
-        return M.normalize(txt).reshape(n_cls, P, -1)
+        out = M.normalize(txt).reshape(n_cls, P, -1)
+        if self._fanout is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, self._fanout["class"])
+        return out
 
     # -- steps ------------------------------------------------------------------
     def _build_steps(self):
+        from ..parallel.mesh import fanout_shardings
+        self._fanout = fanout_shardings(self.mesh)
         alpha = self.alpha
         n_prompt = self.n_prompt
 
