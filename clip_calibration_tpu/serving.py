@@ -221,18 +221,108 @@ class Predictor:
                 "confidences": probs.max(axis=1)}
 
 
+class _ServingLoaderStub:
+    """Stands in for the train loader in serving builds: trainers size
+    their LR schedules by ``len(train_loader_x)`` at build time, nothing
+    else is touched (serving never trains)."""
+
+    def __len__(self):
+        return 1
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(())
+
+
+class _ServingDataManager:
+    """Classnames-only DataManager stand-in: everything the trainers
+    read from ``self.dm`` at build/inference time (``dataset.classnames``,
+    ``num_classes``, ``lab2cname``), with no dataset directory behind it."""
+
+    def __init__(self, classnames: Sequence[str]):
+        import types
+
+        cns = list(classnames)
+        self.dataset = types.SimpleNamespace(classnames=cns,
+                                             num_classes=len(cns))
+        self.num_classes = len(cns)
+        self.lab2cname = {i: c for i, c in enumerate(cns)}
+        self.train_loader_x = _ServingLoaderStub()
+        self.val_loader = None
+        self.test_loader = None
+
+
+def build_serving_trainer(classnames: Sequence[str],
+                          trainer_name: Optional[str] = None,
+                          backbone: Optional[str] = None,
+                          config_file: Optional[str] = None,
+                          opts: Optional[Sequence] = None,
+                          cfg=None):
+    """Build a registered trainer WITHOUT a dataset directory.
+
+    The reference serves its 9 learners through ``base_model/`` mirror
+    classes (``trainers/calibration/basemodel_loader.py:19-40``), each of
+    which still needs the training DataManager. Here any registered
+    trainer builds from (classnames, config) alone: the DataManager is
+    replaced by a classnames-only stub, everything else — prompt
+    assembly, jit steps, checkpoint loading — is the product code path.
+
+    Pass ``config_file``/``opts`` to reproduce the training
+    hyperparameters (N_CTX, PROMPT_DEPTH, ...) of the checkpoint you are
+    about to load via ``trainer.load_model``.
+    """
+    from .config import get_cfg_default
+    from .engine.registry import TRAINER_REGISTRY
+    from . import trainers as _register_trainers  # noqa: F401
+    from .evaluators import vl_evaluator as _register_eval  # noqa: F401
+
+    if cfg is None:
+        cfg = get_cfg_default()
+        if config_file:
+            cfg.merge_from_file(config_file)
+        if trainer_name:
+            cfg.TRAINER.NAME = trainer_name
+        if backbone:
+            cfg.MODEL.BACKBONE.NAME = backbone
+        cfg.TEST.EVALUATOR = "VLClassification"
+        if opts:
+            cfg.merge_from_list(list(opts))
+    base_cls = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)
+
+    class ServingTrainer(base_cls):
+        def build_data_loader(self):
+            self.dm = _ServingDataManager(classnames)
+            self.train_loader_x = self.dm.train_loader_x
+            self.val_loader = None
+            self.test_loader = None
+            self.num_classes = self.dm.num_classes
+            self.lab2cname = self.dm.lab2cname
+
+    ServingTrainer.__name__ = f"Serving{base_cls.__name__}"
+    ServingTrainer.__qualname__ = ServingTrainer.__name__
+    return ServingTrainer(cfg)
+
+
 class TrainerPredictor:
     """Serve ANY built trainer through its own inference step.
 
     ``Predictor`` covers zero-shot and CoOp-family checkpoints;
-    this wraps an already-built trainer object (MaPLe, PromptSRC, VPT,
-    TempScaling, ...) — whatever ``model_inference`` computes is what
-    gets served, with serving-side static-shape batching and optional
-    DAC class confidences applied exactly as the eval pipeline does
-    (reference ``vl_calibrator.py``: DAC scales logits first, softmax
-    after). For a fitted temperature, build a TempScaling trainer
-    around the base learner and wrap THAT — its ``model_inference``
-    already returns tempered logits.
+    this wraps a trainer object (MaPLe, PromptSRC, VPT, TempScaling,
+    ...) — whatever ``model_inference`` computes is what gets served,
+    with serving-side static-shape batching and optional DAC class
+    confidences applied exactly as the eval pipeline does (reference
+    ``vl_calibrator.py``: DAC scales logits first, softmax after), as a
+    jit program on device — the logits never reach the host, only the
+    calibrated probabilities are fetched. For a fitted temperature,
+    build a TempScaling trainer around the base learner and wrap THAT —
+    its ``model_inference`` already returns tempered logits.
+
+    ``from_checkpoint`` builds the trainer dataset-free (classnames +
+    config + checkpoint dir), covering the prompt families ``Predictor``
+    cannot reconstruct from a ctx tensor alone (MaPLe's coupled deep
+    prompts, PromptSRC's dual prompts, VPT's visual prompts).
     """
 
     def __init__(self, trainer, class_confidence=None,
@@ -240,9 +330,43 @@ class TrainerPredictor:
         self.trainer = trainer
         self.batch_size = int(batch_size
                               or trainer.cfg.DATALOADER.TEST.BATCH_SIZE)
+        n_cls = trainer.dm.num_classes
         self.class_confidence = (
-            None if class_confidence is None
+            np.ones((n_cls,), np.float32) if class_confidence is None
             else np.asarray(class_confidence, np.float32))
+
+        def score(logits, conf):
+            # device-side DAC + softmax, fused with nothing to fetch
+            # but the probabilities (reference vl_calibrator.py order:
+            # row-scale the logits by the argmax class confidence,
+            # THEN softmax)
+            lg = logits.astype(jnp.float32)
+            preds = jnp.argmax(lg, axis=1)
+            lg = lg * conf.astype(jnp.float32)[preds][:, None]
+            return jax.nn.softmax(lg, axis=-1)
+
+        self._score_step = jax.jit(score)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str,
+                        classnames: Sequence[str],
+                        trainer_name: Optional[str] = None,
+                        backbone: Optional[str] = None,
+                        config_file: Optional[str] = None,
+                        opts: Optional[Sequence] = None,
+                        epoch: Optional[int] = None,
+                        class_confidence=None,
+                        batch_size: Optional[int] = None
+                        ) -> "TrainerPredictor":
+        """Dataset-free serving for any trainer family: build the
+        trainer from (classnames, config), load its checkpoint dir
+        (reference torch ``model.pth.tar-N`` or native npz), serve."""
+        trainer = build_serving_trainer(
+            classnames, trainer_name=trainer_name, backbone=backbone,
+            config_file=config_file, opts=opts)
+        trainer.load_model(checkpoint_dir, epoch)
+        return cls(trainer, class_confidence=class_confidence,
+                   batch_size=batch_size)
 
     def predict(self, images: np.ndarray) -> dict:
         """images: uint8 [N, H, W, 3] at the model resolution."""
@@ -254,6 +378,7 @@ class TrainerPredictor:
                     "preds": np.zeros((0,), np.int64),
                     "confidences": np.zeros((0,), np.float32)}
         from .parallel.mesh import to_host_global
+        conf = jnp.asarray(self.class_confidence)
         bs = self.batch_size
         pending, done = [], []
         for i in range(0, n, bs):
@@ -261,18 +386,14 @@ class TrainerPredictor:
             if batch.shape[0] < bs:  # pad: static shapes, no retrace
                 pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
                 batch = np.concatenate([batch, pad])
-            out, _, _ = self.trainer.model_inference(batch)
-            pending.append(out)  # async dispatch; bounded window
+            logits, _, _ = self.trainer.model_inference(batch)
+            # async dispatch; bounded window; probs computed on device
+            pending.append(self._score_step(logits, conf))
             if len(pending) >= _MAX_IN_FLIGHT:
                 done.append(
                     to_host_global(pending.pop(0)).astype(np.float32))
         done.extend(to_host_global(p).astype(np.float32) for p in pending)
-        logits = np.concatenate(done)[:n]
-        if self.class_confidence is not None:
-            logits = logits * self.class_confidence[
-                logits.argmax(axis=1)][:, None]
-        z = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs = z / z.sum(axis=1, keepdims=True)
+        probs = np.concatenate(done)[:n]
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}

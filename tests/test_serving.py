@@ -147,6 +147,103 @@ def test_mesh_sharded_predictor_matches_single_device():
     np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
 
 
+def _build_maple_trainer(tmp_path, with_dataset=True):
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.engine.registry import build_trainer
+    import clip_calibration_tpu.trainers  # noqa: F401
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+
+    cfg = get_cfg_default()
+    cfg.TEST.EVALUATOR = "VLClassification"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.SEED = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = "MaPLe"
+    cfg.TRAINER.MAPLE.N_CTX = 2
+    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 2  # ViT-Test: 2 layers
+    cfg.freeze()
+    return build_trainer(cfg)
+
+
+def test_trainer_predictor_from_checkpoint_dataset_free(tmp_path):
+    """VERDICT r2 item 7: a MaPLe checkpoint must serve end-to-end with
+    NO dataset directory (classnames + config + checkpoint only) and
+    with DAC + softmax computed on device, matching the dataset-built
+    trainer's own inference bit-for-bit at fp32."""
+    from clip_calibration_tpu.serving import TrainerPredictor
+
+    ref = _build_maple_trainer(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpt")
+    ref.save_model(0, ckpt_dir)
+
+    classnames = ref.dm.dataset.classnames
+    served = TrainerPredictor.from_checkpoint(
+        ckpt_dir, classnames, trainer_name="MaPLe",
+        backbone="ViT-Test",
+        opts=["TRAINER.MAPLE.N_CTX", "2",
+              "TRAINER.MAPLE.PROMPT_DEPTH", "2",
+              "INPUT.SIZE", "(32, 32)"],
+        batch_size=4)
+    # the serving trainer never saw a dataset directory
+    assert served.trainer.test_loader is None
+
+    rng = np.random.default_rng(3)
+    imgs = (rng.random((6, 32, 32, 3)) * 255).astype(np.uint8)
+    out = served.predict(imgs)
+
+    direct = TrainerPredictor(ref, batch_size=4).predict(imgs)
+    np.testing.assert_allclose(out["probs"], direct["probs"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out["preds"], direct["preds"])
+
+    # DAC confidences through the device-side scoring path
+    conf = rng.random(len(classnames)).astype(np.float32) + 0.5
+    out_dac = TrainerPredictor.from_checkpoint(
+        ckpt_dir, classnames, trainer_name="MaPLe",
+        backbone="ViT-Test",
+        opts=["TRAINER.MAPLE.N_CTX", "2",
+              "TRAINER.MAPLE.PROMPT_DEPTH", "2",
+              "INPUT.SIZE", "(32, 32)"],
+        class_confidence=conf, batch_size=4).predict(imgs)
+    logits, _, _ = ref.model_inference(imgs[:4])
+    lg = np.asarray(logits, np.float32)
+    scaled = lg * conf[lg.argmax(axis=1)][:, None]
+    from scipy.special import softmax
+    np.testing.assert_allclose(out_dac["probs"][:4],
+                               softmax(scaled, axis=1),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,opts", [
+    ("PromptSRC", ["TRAINER.PROMPTSRC.N_CTX_TEXT", "2",
+                   "TRAINER.PROMPTSRC.N_CTX_VISION", "2",
+                   "TRAINER.PROMPTSRC.PROMPT_DEPTH_TEXT", "2",
+                   "TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION", "2"]),
+    ("VPT", ["TRAINER.VPT.N_CTX_VISION", "2",
+             "TRAINER.VPT.PROMPT_DEPTH_VISION", "2"]),
+])
+def test_serving_trainer_builds_dataset_free(name, opts):
+    """Every prompt family Predictor cannot serve must at least build
+    and run inference dataset-free through build_serving_trainer."""
+    from clip_calibration_tpu.serving import (TrainerPredictor,
+                                              build_serving_trainer)
+
+    trainer = build_serving_trainer(
+        ["apple", "bus", "cat"], trainer_name=name, backbone="ViT-Test",
+        opts=opts + ["INPUT.SIZE", "(32, 32)"])
+    tp = TrainerPredictor(trainer, batch_size=4)
+    rng = np.random.default_rng(0)
+    out = tp.predict((rng.random((3, 32, 32, 3)) * 255)
+                     .astype(np.uint8))
+    assert out["probs"].shape == (3, 3)
+    np.testing.assert_allclose(out["probs"].sum(1), 1.0, atol=1e-5)
+
+
 def test_trainer_predictor_serves_any_trainer(tmp_path):
     """TrainerPredictor must reproduce the trainer's own inference math
     (incl. padding/trim) for a trainer Predictor cannot serve (MaPLe's
