@@ -30,6 +30,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-preset / long-running tests (deselect with "
+        "-m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np
