@@ -64,6 +64,10 @@ def get_cfg_default() -> CN:
     cfg.DATALOADER.NUM_WORKERS = 4
     cfg.DATALOADER.K_TRANSFORMS = 1
     cfg.DATALOADER.RETURN_IMG0 = False
+    # repo-only: JPEG decode-time downscaling (libjpeg draft mode) in the
+    # host loader — 2-4x faster decode, pixel values differ slightly from
+    # a full decode so it is OFF for parity-exact runs (data/loader.py)
+    cfg.DATALOADER.JPEG_DRAFT = False
     cfg.DATALOADER.TRAIN_X = CN()
     cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 32

@@ -66,6 +66,51 @@ def test_transform_shapes(tmp_path):
     assert out.shape == (224, 224, 3) and out.dtype == np.uint8
 
 
+def test_jpeg_draft_decode(tmp_path):
+    """DATALOADER.JPEG_DRAFT: decode-time downscaling must keep both
+    dims >= the target (full resize quality available downstream), be a
+    no-op for small sources and non-JPEG files, and produce output
+    close to the full-decode pipeline."""
+    from clip_calibration_tpu.data.loader import DataLoader, _load_image
+    from clip_calibration_tpu.data.base import Datum
+
+    rng = np.random.default_rng(0)
+    big = Image.fromarray((rng.random((900, 1200, 3)) * 255).astype(
+        np.uint8))
+    big_jpg = str(tmp_path / "big.jpg")
+    big.save(big_jpg, quality=90)
+    small_jpg = str(tmp_path / "small.jpg")
+    big.resize((400, 300)).save(small_jpg, quality=90)
+    png = str(tmp_path / "img.png")
+    big.resize((400, 300)).save(png)
+
+    im = _load_image(big_jpg, 224)
+    assert min(im.size) >= 224 and max(im.size) < 1200  # downscaled
+    assert _load_image(small_jpg, 224).size == (400, 300)  # no-op
+    assert _load_image(png, 224).size == (400, 300)        # no-op
+
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (224, 224)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                            "normalize")
+    tfm = build_transform(cfg, is_train=False)
+    data = [Datum(impath=p, label=0, classname="x")
+            for p in (big_jpg, small_jpg, png)]
+    out_full = next(iter(DataLoader(data, 3, tfm, is_train=False,
+                                    num_workers=1)))
+    out_draft = next(iter(DataLoader(data, 3, tfm, is_train=False,
+                                     num_workers=1, draft_size=224)))
+    assert out_draft["img"].shape == out_full["img"].shape
+    # small/png rows identical (draft no-op), big row close but not
+    # necessarily equal (reduced-scale IDCT)
+    np.testing.assert_array_equal(out_draft["img"][1:],
+                                  out_full["img"][1:])
+    diff = np.abs(out_draft["img"][0].astype(np.int32)
+                  - out_full["img"][0].astype(np.int32))
+    assert diff.mean() < 8.0
+
+
 def test_synthetic_datamanager(tmp_path):
     cfg = get_cfg_default()
     cfg.DATASET.ROOT = str(tmp_path)
