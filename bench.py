@@ -99,6 +99,10 @@ def main():
     # secondary: full CoOp-style train step (fwd+bwd through both towers
     # + optax update) at the reference's CoOp batch size
     train_ips = _train_step_throughput()
+    # secondary: the calibrated eval pipeline — the paper's actual
+    # workload ("calibration without sacrificing the inference speed",
+    # reference README.md:7)
+    eval_ips = _eval_pipeline_throughput()
 
     print(json.dumps({
         "metric": "vit_b16_image_encode_throughput",
@@ -112,6 +116,7 @@ def main():
         "device": str(dev),
         "achieved_tflops": round(achieved_tflops, 1),
         "coop_train_step_images_per_s": round(train_ips, 1),
+        "eval_pipeline_images_per_s": round(eval_ips, 1),
         "notes": "vs_baseline = MFU = achieved / 197 TFLOP/s nominal v5e "
                  "bf16 roofline (reference publishes no throughput "
                  "numbers; see BASELINE.md and docs/ROOFLINE.md)",
@@ -159,6 +164,58 @@ def _train_step_throughput(batch: int = 32, n_cls: int = 100,
         ctx, opt_state, loss = run(ctx, opt_state, params, embedding,
                                    eot_pos, images, labels, n_iters)
         float(loss)
+        trials.append(batch * n_iters / (time.perf_counter() - t0))
+    return sorted(trials)[1]
+
+
+def _eval_pipeline_throughput(batch: int = 256, n_cls: int = 100,
+                              n_iters: int = 20) -> float:
+    """Calibrated-eval throughput: per batch, everything ``test()``
+    computes on device (reference ``base_learner.py:59-152`` workload) —
+    uint8 normalize + ViT-B/16 encode + fused DAC scoring
+    (``ops/scoring.fused_dac_scores``: cosine logits, argmax-class
+    confidence row scaling, softmax) + the running correct/confidence
+    accumulation the evaluator consumes. Batches chained inside one jit
+    with varied inputs (tunnel methodology, see ``chained``); the hosts
+    loop's padded batches + pipelined fetch ride on top and are covered
+    by tests (base_learner pipelined eval, loader benchmark)."""
+    cfg = M.PRESETS["ViT-B/16"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    txt = M.normalize(jax.random.normal(
+        k1, (n_cls, cfg.embed_dim), jnp.float32)).astype(jnp.bfloat16)
+    conf = jax.random.uniform(k2, (n_cls,), jnp.float32, 0.5, 1.5)
+    res = cfg.image_resolution
+    images = (jax.random.uniform(k3, (batch, res, res, 3)) * 255
+              ).astype(jnp.uint8)
+    labels = jax.random.randint(k4, (batch,), 0, n_cls)
+
+    from clip_calibration_tpu.ops.scoring import fused_dac_scores
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(params, txt, conf, images, labels, n):
+        def body(carry, i):
+            correct, confsum = carry
+            x = normalize_images(images ^ i.astype(jnp.uint8))
+            img_f = M.normalize(M.encode_image(params, cfg, x))
+            probs, _ = fused_dac_scores(img_f, txt,
+                                        params["logit_scale"], conf,
+                                        normalized=True)
+            pred = jnp.argmax(probs, axis=1)
+            correct += jnp.sum(pred == labels)
+            confsum += jnp.sum(jnp.max(probs, axis=1))
+            return (correct, confsum), None
+        (c, s), _ = jax.lax.scan(body, (jnp.int32(0), jnp.float32(0)),
+                                 jnp.arange(n))
+        return c, s
+
+    c, s = run(params, txt, conf, images, labels, n_iters)
+    float(s)  # compile + warmup
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c, s = run(params, txt, conf, images, labels, n_iters)
+        float(s)
         trials.append(batch * n_iters / (time.perf_counter() - t0))
     return sorted(trials)[1]
 
