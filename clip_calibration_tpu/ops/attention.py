@@ -46,6 +46,40 @@ def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.triu(jnp.full((length, length), neg, dtype=dtype), k=1)
 
 
+# Short-sequence row packing: the text fan-outs run MANY tiny sequences
+# (e.g. ProDA: 400 rows x 26 tokens), and a grid cell per row leaves the
+# kernel launch-overhead-bound (~0.9 us/cell x rows x layers = 39% of
+# the tower forward, measured on v5e — docs/ROOFLINE.md round 3). Below
+# this L, G rows are folded into one cell as a [G*L] sequence with a
+# block-diagonal mask: same math (cross-row scores are -inf, their
+# probabilities exactly 0), G x fewer cells, and [G*L, d] score matmuls
+# that actually fill the MXU's 128-wide lanes.
+_PACK_MAX_SEQ = 64
+_PACK_MAX_ROWS = 512  # keep [G*L, G*L] fp32 scores <= 1 MB in VMEM
+
+
+def _pack_rows(batch: int, length: int) -> int:
+    """Largest G in {16, 8, 4, 2} dividing batch with G*L <= the score
+    budget; 1 when packing is pointless (few rows or long sequences)."""
+    if length > _PACK_MAX_SEQ:
+        return 1
+    for g in (16, 8, 4, 2):
+        if batch % g == 0 and g * length <= _PACK_MAX_ROWS:
+            return g
+    return 1
+
+
+def _blockdiag_mask(mask: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[L, L] additive mask -> [G*L, G*L]: per-row blocks keep the mask,
+    cross-row blocks are fully masked."""
+    L = mask.shape[0]
+    neg = jnp.finfo(jnp.float32).min
+    on_diag = jnp.kron(jnp.eye(g, dtype=jnp.int32),
+                       jnp.ones((L, L), jnp.int32)).astype(bool)
+    return jnp.where(on_diag, jnp.tile(mask.astype(jnp.float32), (g, g)),
+                     neg)
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     wqkv: jnp.ndarray,
@@ -77,7 +111,13 @@ def multi_head_attention(
         from .pallas_attention import pallas_mha_qkv
         if mask is None:
             mask = jnp.zeros((L, L), jnp.float32)
-        out = pallas_mha_qkv(qkv, mask.astype(jnp.float32), n_heads)
+        g = _pack_rows(B, L)
+        if g > 1:
+            out = pallas_mha_qkv(
+                qkv.reshape(B // g, g * L, 3 * D),
+                _blockdiag_mask(mask, g), n_heads).reshape(B, L, D)
+        else:
+            out = pallas_mha_qkv(qkv, mask.astype(jnp.float32), n_heads)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

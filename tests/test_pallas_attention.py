@@ -109,6 +109,62 @@ def test_pallas_mha_qkv_gradients_match_xla():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_short_seq_row_packing_matches_xla():
+    """The short-sequence row packing (G rows folded into one [G*L]
+    sequence with a block-diagonal mask — ops/attention.py::_pack_rows)
+    must be exact: cross-row scores are -inf so their probabilities are
+    exactly 0. Forward AND gradients vs the XLA path, at a shape where
+    packing engages (B=8, L=32 -> G=8 one cell)."""
+    from clip_calibration_tpu.ops import attention as A
+    from clip_calibration_tpu.ops import pallas_attention as PA
+
+    B, D, H, L = 8, 64, 4, 32
+    assert A._pack_rows(B, L) == 8
+    assert A._pack_rows(B, 80) == 1      # long seq: no packing
+    assert A._pack_rows(7, L) == 1       # indivisible batch: no packing
+    assert A._pack_rows(64, 32) == 16    # 16*32=512 fits the budget
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (B, L, D), jnp.float32) * 0.2
+    ks = jax.random.split(key, 4)
+    wqkv = jax.random.normal(ks[0], (D, 3 * D)) * 0.05
+    bqkv = jnp.zeros((3 * D,))
+    wo = jax.random.normal(ks[1], (D, D)) * 0.05
+    bo = jnp.zeros((D,))
+    mask = causal_mask(L)
+
+    def run():
+        return multi_head_attention(x, wqkv, bqkv, wo, bo, H, mask)
+
+    A.set_attention_impl("xla")
+    want = run()
+    want_g = jax.grad(lambda x: jnp.sum(multi_head_attention(
+        x, wqkv, bqkv, wo, bo, H, mask) ** 2))(x)
+
+    orig = PA.pallas_mha_qkv
+
+    def interp(qkv, m, n_heads, interpret=True):
+        # the packed call must arrive with ONE fused row of 8 sequences
+        assert qkv.shape[:2] == (1, B * L)
+        assert m.shape == (B * L, B * L)
+        return orig(qkv, m, n_heads, True)
+
+    PA.pallas_mha_qkv = interp
+    try:
+        A.set_attention_impl("pallas")
+        got = run()
+        got_g = jax.grad(lambda x: jnp.sum(multi_head_attention(
+            x, wqkv, bqkv, wo, bo, H, mask) ** 2))(x)
+    finally:
+        PA.pallas_mha_qkv = orig
+        A.set_attention_impl("auto")
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_transformer_pad_once_equivalence():
     """Padding the token axis to the sublane multiple must not change
     real-token outputs (pad keys masked, pad rows pinned to key 0)."""
