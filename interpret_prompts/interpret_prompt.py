@@ -22,6 +22,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS=cpu before anything imports jax — the axon TPU
+# plugin ignores the env var and would grab the TPU tunnel (the shared
+# workaround train.py/conftest use; this is a host-side numpy utility)
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    from clip_calibration_tpu.tools.platform import force_cpu_platform
+    force_cpu_platform()
+
 from clip_calibration_tpu.engine.checkpoint import load_checkpoint
 from clip_calibration_tpu.models.backbone import load_clip_backbone
 from clip_calibration_tpu.models.tokenizer import CLIPTokenizer
