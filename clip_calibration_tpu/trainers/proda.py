@@ -176,8 +176,44 @@ class ProDA(VLBaseLearner):
                 frozen, self.clip_cfg, x, dtype=self.compute_dtype))
             ).astype(jnp.float32)
 
-            tf = self._text_features_all(ctx_b, pos_b, frozen).astype(
-                jnp.float32)                      # [n_cls, P, E]
+            # ONE tower call for the n_cls*P fan-out AND the n_prompt
+            # class-free diversity rows: the 32-row diversity batch
+            # alone underfills the MXU (probe_proda.py: ~2 ms for 4% of
+            # the FLOPs); appended here it rides the fan-out's packed
+            # attention cells for its marginal cost. Bit-identical to
+            # separate encodes: rows are independent and the causal
+            # mask makes positions past each row's EOT irrelevant, so
+            # the longer shared seq_len changes nothing.
+            prompts = self._assemble(ctx_b, pos_b)  # [n_cls, P, 77, D]
+            n_cls, P = prompts.shape[:2]
+            if self._fanout is not None:
+                prompts = jax.lax.with_sharding_constraint(
+                    prompts, self._fanout["class"])
+            flat = prompts.reshape((n_cls * P,) + prompts.shape[2:])
+
+            nc = jnp.broadcast_to(
+                self.nc_embedding[None],
+                (n_prompt,) + self.nc_embedding.shape)
+            nc = jnp.concatenate(
+                [nc[:, :1], ctx.astype(nc.dtype),
+                 nc[:, 1 + self.n_ctx:]], axis=1)
+
+            rows = jnp.concatenate([flat, nc.astype(flat.dtype)], axis=0)
+            eots = jnp.concatenate(
+                [jnp.repeat(self.eot_pos, P),
+                 jnp.full((n_prompt,), self.nc_eot, jnp.int32)])
+            total = n_cls * P + n_prompt
+            out = M.normalize(M.encode_text_embedded(
+                frozen, self.clip_cfg, rows, eots,
+                remat=total >= _REMAT_MIN_TEXT_ROWS,
+                seq_len=max(self.seq_len, self.nc_eot + 1)))
+
+            tf = out[:n_cls * P].reshape(n_cls, P, -1)
+            if self._fanout is not None:
+                tf = jax.lax.with_sharding_constraint(
+                    tf, self._fanout["class"])
+            tf = tf.astype(jnp.float32)           # [n_cls, P, E]
+            nc_f = out[n_cls * P:].astype(jnp.float32)
             text_mean = tf.mean(axis=1)           # [n_cls, E]
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(img_f, text_mean.T)
@@ -202,17 +238,8 @@ class ProDA(VLBaseLearner):
             loss_upper = optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
 
-            # diversity penalty over ALL prompts (proda.py:296-302)
-            nc = jnp.broadcast_to(
-                self.nc_embedding[None],
-                (n_prompt,) + self.nc_embedding.shape)
-            nc = jnp.concatenate(
-                [nc[:, :1], ctx.astype(nc.dtype),
-                 nc[:, 1 + self.n_ctx:]], axis=1)
-            nc_eots = jnp.full((n_prompt,), self.nc_eot, jnp.int32)
-            nc_f = M.normalize(M.encode_text_embedded(
-                frozen, self.clip_cfg, nc, nc_eots,
-                seq_len=self.nc_eot + 1)).astype(jnp.float32)
+            # diversity penalty over ALL prompts (proda.py:296-302);
+            # nc_f was encoded in the merged tower call above
             gram = jnp.dot(nc_f, nc_f.T)
             off = 1.0 - jnp.eye(n_prompt)
             loss_m = (jnp.abs(gram) * off).sum() / off.sum()
