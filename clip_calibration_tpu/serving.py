@@ -289,20 +289,32 @@ def build_serving_trainer(classnames: Sequence[str],
         cfg.TEST.EVALUATOR = "VLClassification"
         if opts:
             cfg.merge_from_list(list(opts))
-    base_cls = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)
 
-    class ServingTrainer(base_cls):
-        def build_data_loader(self):
-            self.dm = _ServingDataManager(classnames)
-            self.train_loader_x = self.dm.train_loader_x
-            self.val_loader = None
-            self.test_loader = None
-            self.num_classes = self.dm.num_classes
-            self.lab2cname = self.dm.lab2cname
+    def serving_class(base_cls):
+        class ServingTrainer(base_cls):
+            def build_data_loader(self):
+                self.dm = _ServingDataManager(classnames)
+                self.train_loader_x = self.dm.train_loader_x
+                self.val_loader = None
+                self.test_loader = None
+                self.num_classes = self.dm.num_classes
+                self.lab2cname = self.dm.lab2cname
 
-    ServingTrainer.__name__ = f"Serving{base_cls.__name__}"
-    ServingTrainer.__qualname__ = ServingTrainer.__name__
-    return ServingTrainer(cfg)
+        ServingTrainer.__name__ = f"Serving{base_cls.__name__}"
+        ServingTrainer.__qualname__ = ServingTrainer.__name__
+        return ServingTrainer
+
+    # Calibration wrappers (TempScaling, VLCalibration) build their base
+    # learner through TRAINER_REGISTRY.get inside build_model — route
+    # those nested builds through the same dataset-free subclass for the
+    # duration of this construction.
+    orig_get = TRAINER_REGISTRY.get
+    TRAINER_REGISTRY.get = lambda name: serving_class(orig_get(name))
+    try:
+        trainer = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
+    finally:
+        del TRAINER_REGISTRY.get  # restore the class method
+    return trainer
 
 
 class TrainerPredictor:

@@ -244,6 +244,44 @@ def test_serving_trainer_builds_dataset_free(name, opts):
     np.testing.assert_allclose(out["probs"].sum(1), 1.0, atol=1e-5)
 
 
+def test_tempscaling_serving_dataset_free(tmp_path):
+    """Calibrated checkpoints (model-calibrated.pth.tar-N) must serve
+    dataset-free too: TempScaling's nested base-learner build goes
+    through the same serving stub (reference serves calibrated models
+    via basemodel_loader mirrors). Tempered probs == softmax(T * cos)."""
+    import jax.numpy as jnp
+    from scipy.special import softmax
+    from clip_calibration_tpu.serving import (TrainerPredictor,
+                                              build_serving_trainer)
+
+    opts = ["CALIBRATION.SCALING.BASE_LEARNER", "CoOp",
+            "CALIBRATION.SCALING.BASE_DIR", osp.join(FIX, "coop_model"),
+            "CALIBRATION.SCALING.BASE_EPOCH", "3",
+            "TRAINER.COOP.N_CTX", "4", "INPUT.SIZE", "(32, 32)",
+            "MODEL.PRECISION", "fp32", "TRAINER.COOP.PREC", "fp32"]
+    fitted = build_serving_trainer(BASE, trainer_name="TempScaling",
+                                   backbone="ViT-Test", opts=opts)
+    assert fitted.test_loader is None
+    assert fitted.base.test_loader is None  # nested build is stub too
+    fitted._models["scale_learner"]["params"]["scale"] = jnp.asarray(
+        np.log(2.5), jnp.float32)
+    ck = str(tmp_path / "calibrated")
+    fitted.save_model(0, ck)
+    assert osp.exists(osp.join(ck, "scale_learner",
+                               "model-calibrated.pth.tar-1"))
+
+    srv = TrainerPredictor.from_checkpoint(
+        ck, BASE, trainer_name="TempScaling", backbone="ViT-Test",
+        opts=opts, epoch=1, batch_size=8)
+    images, _ = _test_images({0, 1})
+    out = srv.predict(images)
+
+    cos, _, _ = srv.trainer._unit_logits(images[:8])
+    want = softmax(2.5 * cos, axis=1)
+    np.testing.assert_allclose(out["probs"][:8], want, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_trainer_predictor_serves_any_trainer(tmp_path):
     """TrainerPredictor must reproduce the trainer's own inference math
     (incl. padding/trim) for a trainer Predictor cannot serve (MaPLe's
