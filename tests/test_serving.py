@@ -226,6 +226,9 @@ def test_trainer_predictor_from_checkpoint_dataset_free(tmp_path):
                    "TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION", "2"]),
     ("VPT", ["TRAINER.VPT.N_CTX_VISION", "2",
              "TRAINER.VPT.PROMPT_DEPTH_VISION", "2"]),
+    ("CoCoOp", ["TRAINER.COCOOP.N_CTX", "2"]),
+    ("ProDA", ["TRAINER.PRODA.N_CTX", "2", "TRAINER.PRODA.N_PROMPT",
+               "4", "TRAINER.PRODA.PROMPT_BS", "2"]),
 ])
 def test_serving_trainer_builds_dataset_free(name, opts):
     """Every prompt family Predictor cannot serve must at least build
