@@ -65,8 +65,10 @@ def get_cfg_default() -> CN:
     cfg.DATALOADER.K_TRANSFORMS = 1
     cfg.DATALOADER.RETURN_IMG0 = False
     # repo-only: JPEG decode-time downscaling (libjpeg draft mode) in the
-    # host loader — 2-4x faster decode, pixel values differ slightly from
-    # a full decode so it is OFF for parity-exact runs (data/loader.py)
+    # host loader's EVAL/VAL paths — 2-4x faster decode, pixel values
+    # differ slightly from a full decode so it is OFF for parity-exact
+    # runs; the train loader never drafts (RandomResizedCrop would
+    # upsample low-detail crops — data/loader.py)
     cfg.DATALOADER.JPEG_DRAFT = False
     cfg.DATALOADER.TRAIN_X = CN()
     cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"

@@ -191,15 +191,20 @@ class DataManager:
 
         nw = cfg.DATALOADER.NUM_WORKERS
         seed = max(cfg.SEED, 0)
-        # opt-in JPEG decode-time downscaling (see _load_image); only
-        # meaningful when a fixed output geometry exists
+        # opt-in JPEG decode-time downscaling (see _load_image) — EVAL
+        # loaders only: their geometry is a whole-image shorter-side
+        # resize, so keeping both dims >= the target preserves full
+        # output resolution. The train path's RandomResizedCrop can
+        # crop a small region (scale down to 0.08) and upsample it, so
+        # a draft-decoded source would feed visibly lower-detail crops,
+        # not the "slightly different pixels" contract; construct a
+        # DataLoader(draft_size=...) directly if that trade is wanted.
         draft = (max(cfg.INPUT.SIZE)
                  if getattr(cfg.DATALOADER, "JPEG_DRAFT", False) else 0)
 
         self.train_loader_x = DataLoader(
             self.dataset.train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-            tfm_train, is_train=True, num_workers=nw, seed=seed,
-            draft_size=draft)
+            tfm_train, is_train=True, num_workers=nw, seed=seed)
         self.val_loader = None
         if self.dataset.val:
             self.val_loader = DataLoader(

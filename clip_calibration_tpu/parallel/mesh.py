@@ -139,8 +139,7 @@ def fanout_shardings(mesh: Optional[Mesh]):
       images over "data" AND classes over "model" (CoCoOp) — the full
       mesh works on one chunk's text rows.
     """
-    if mesh is None or dict(zip(mesh.axis_names,
-                                mesh.devices.shape)).get("model", 1) <= 1:
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
         return None
     return {
         "class": class_sharding(mesh),

@@ -21,6 +21,7 @@ host-side geometry.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -39,6 +40,30 @@ from .ops.scoring import fused_dac_scores
 # pressure HBM on very large image sets (each pending chunk pins its
 # input batch on device until fetched).
 _MAX_IN_FLIGHT = 4
+
+# serializes build_serving_trainer's registry patch (see its docstring)
+_SERVING_BUILD_LOCK = threading.Lock()
+
+
+def _drain_batched(images: np.ndarray, batch_size: int, dispatch,
+                   fetch) -> np.ndarray:
+    """Shared serving drive loop: pad each chunk to ``batch_size``
+    (static shapes — jit never retraces), dispatch asynchronously with a
+    bounded in-flight window (queued input buffers never accumulate on
+    device), fetch fp32 rows, trim the pad."""
+    n = images.shape[0]
+    pending, done = [], []
+    for i in range(0, n, batch_size):
+        batch = images[i:i + batch_size]
+        if batch.shape[0] < batch_size:
+            pad = np.repeat(batch[-1:], batch_size - batch.shape[0],
+                            axis=0)
+            batch = np.concatenate([batch, pad])
+        pending.append(dispatch(batch))
+        if len(pending) >= _MAX_IN_FLIGHT:
+            done.append(fetch(pending.pop(0)))
+    done.extend(fetch(p) for p in pending)
+    return np.concatenate(done)[:n]
 
 
 class Predictor:
@@ -84,6 +109,13 @@ class Predictor:
         # DAC per-class confidence (reference
         # distanse_aware_calibration.py) and/or a fitted temperature
         # (reference tempscaling.py): both post-hoc, both optional.
+        if class_confidence is not None and \
+                len(class_confidence) != len(self.classnames):
+            # jit gathers CLAMP out-of-bounds preds, so a wrong-length
+            # vector would silently mis-calibrate instead of raising
+            raise ValueError(
+                f"class_confidence has {len(class_confidence)} entries "
+                f"for {len(self.classnames)} classnames")
         self.class_confidence = (
             None if class_confidence is None
             else jnp.asarray(class_confidence, jnp.float32))
@@ -199,23 +231,11 @@ class Predictor:
         if conf is None:
             conf = jnp.ones((len(self.classnames),), jnp.float32)
 
-        # dispatch chunks async with a bounded in-flight window —
-        # transfers overlap the remaining compute without letting the
-        # queued input buffers accumulate on device
-        bs = self.batch_size
-        pending, done = [], []
-        for i in range(0, n, bs):
-            batch = images[i:i + bs]
-            if batch.shape[0] < bs:  # pad: static shapes, no retrace
-                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
-                batch = np.concatenate([batch, pad])
-            pending.append(self._predict_step(
-                self.params, self.text_features, jnp.asarray(batch),
-                scale, conf))
-            if len(pending) >= _MAX_IN_FLIGHT:
-                done.append(np.asarray(pending.pop(0), np.float32))
-        done.extend(np.asarray(p, np.float32) for p in pending)
-        probs = np.concatenate(done)[:n]
+        probs = _drain_batched(
+            images, self.batch_size,
+            lambda b: self._predict_step(self.params, self.text_features,
+                                         jnp.asarray(b), scale, conf),
+            lambda p: np.asarray(p, np.float32))
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}
@@ -307,13 +327,17 @@ def build_serving_trainer(classnames: Sequence[str],
     # Calibration wrappers (TempScaling, VLCalibration) build their base
     # learner through TRAINER_REGISTRY.get inside build_model — route
     # those nested builds through the same dataset-free subclass for the
-    # duration of this construction.
-    orig_get = TRAINER_REGISTRY.get
-    TRAINER_REGISTRY.get = lambda name: serving_class(orig_get(name))
-    try:
-        trainer = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
-    finally:
-        del TRAINER_REGISTRY.get  # restore the class method
+    # duration of this construction. The patch is process-global, so
+    # builds are serialized under a lock; a concurrent build_trainer on
+    # ANOTHER thread during the window would still see the serving
+    # subclass — construct trainers from one thread at a time.
+    with _SERVING_BUILD_LOCK:
+        orig_get = TRAINER_REGISTRY.get
+        TRAINER_REGISTRY.get = lambda name: serving_class(orig_get(name))
+        try:
+            trainer = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
+        finally:
+            del TRAINER_REGISTRY.get  # restore the class method
     return trainer
 
 
@@ -343,6 +367,14 @@ class TrainerPredictor:
         self.batch_size = int(batch_size
                               or trainer.cfg.DATALOADER.TEST.BATCH_SIZE)
         n_cls = trainer.dm.num_classes
+        if class_confidence is not None and \
+                len(class_confidence) != n_cls:
+            # the device gather clamps out-of-bounds preds — validate
+            # here so a base-fit vector served against base+new classes
+            # fails loudly (the old numpy path raised IndexError)
+            raise ValueError(
+                f"class_confidence has {len(class_confidence)} entries "
+                f"for {n_cls} classes")
         self.class_confidence = (
             np.ones((n_cls,), np.float32) if class_confidence is None
             else np.asarray(class_confidence, np.float32))
@@ -391,21 +423,14 @@ class TrainerPredictor:
                     "confidences": np.zeros((0,), np.float32)}
         from .parallel.mesh import to_host_global
         conf = jnp.asarray(self.class_confidence)
-        bs = self.batch_size
-        pending, done = [], []
-        for i in range(0, n, bs):
-            batch = images[i:i + bs]
-            if batch.shape[0] < bs:  # pad: static shapes, no retrace
-                pad = np.repeat(batch[-1:], bs - batch.shape[0], axis=0)
-                batch = np.concatenate([batch, pad])
+
+        def dispatch(batch):
             logits, _, _ = self.trainer.model_inference(batch)
-            # async dispatch; bounded window; probs computed on device
-            pending.append(self._score_step(logits, conf))
-            if len(pending) >= _MAX_IN_FLIGHT:
-                done.append(
-                    to_host_global(pending.pop(0)).astype(np.float32))
-        done.extend(to_host_global(p).astype(np.float32) for p in pending)
-        probs = np.concatenate(done)[:n]
+            return self._score_step(logits, conf)  # probs on device
+
+        probs = _drain_batched(
+            images, self.batch_size, dispatch,
+            lambda p: to_host_global(p).astype(np.float32))
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}

@@ -131,8 +131,12 @@ class ProDA(VLBaseLearner):
         prompts = jnp.where(maskc[..., None], emb, gathered)
         return prompts.transpose(1, 0, 2, 3)  # [n_cls, P, 77, D]
 
-    def _text_features_all(self, ctx_batch, pos_batch, frozen):
-        """[n_cls, P, E] normalized text features.
+    def _text_features_all(self, ctx_batch, pos_batch, frozen,
+                           extra_rows=None, extra_eots=None):
+        """[n_cls, P, E] normalized text features (and, when
+        ``extra_rows`` [R, 77, D] is given, their normalized features
+        [R, E] from the SAME tower call — the train step appends its
+        class-free diversity rows so the step makes one dispatch).
 
         The n_cls*P fan-out is the HBM hot spot of ProDA training
         (ImageNet base: 500*4 = 2000 77-token rows through the text
@@ -149,15 +153,26 @@ class ProDA(VLBaseLearner):
                 prompts, self._fanout["class"])
         flat = prompts.reshape(n_cls * P, L, D)
         eot = jnp.repeat(self.eot_pos, P)
-        txt = M.encode_text_embedded(
+        seq_len = self.seq_len
+        if extra_rows is not None:
+            # extra_eots is a HOST array: the shared seq_len is a static
+            # jit parameter, so it must be known at trace time
+            flat = jnp.concatenate([flat, extra_rows.astype(flat.dtype)],
+                                   axis=0)
+            eot = jnp.concatenate([eot, jnp.asarray(extra_eots)])
+            seq_len = max(seq_len, int(np.max(extra_eots)) + 1)
+        total = flat.shape[0]
+        txt = M.normalize(M.encode_text_embedded(
             frozen, self.clip_cfg, flat, eot,
-            remat=n_cls * P >= _REMAT_MIN_TEXT_ROWS,
-            seq_len=self.seq_len)
-        out = M.normalize(txt).reshape(n_cls, P, -1)
+            remat=total >= _REMAT_MIN_TEXT_ROWS,
+            seq_len=seq_len))
+        out = txt[:n_cls * P].reshape(n_cls, P, -1)
         if self._fanout is not None:
             out = jax.lax.with_sharding_constraint(
                 out, self._fanout["class"])
-        return out
+        if extra_rows is None:
+            return out
+        return out, txt[n_cls * P:]
 
     # -- steps ------------------------------------------------------------------
     def _build_steps(self):
@@ -179,41 +194,24 @@ class ProDA(VLBaseLearner):
             # ONE tower call for the n_cls*P fan-out AND the n_prompt
             # class-free diversity rows: the 32-row diversity batch
             # alone underfills the MXU (probe_proda.py: ~2 ms for 4% of
-            # the FLOPs); appended here it rides the fan-out's packed
+            # the FLOPs); appended it rides the fan-out's packed
             # attention cells for its marginal cost. Bit-identical to
             # separate encodes: rows are independent and the causal
             # mask makes positions past each row's EOT irrelevant, so
             # the longer shared seq_len changes nothing.
-            prompts = self._assemble(ctx_b, pos_b)  # [n_cls, P, 77, D]
-            n_cls, P = prompts.shape[:2]
-            if self._fanout is not None:
-                prompts = jax.lax.with_sharding_constraint(
-                    prompts, self._fanout["class"])
-            flat = prompts.reshape((n_cls * P,) + prompts.shape[2:])
-
             nc = jnp.broadcast_to(
                 self.nc_embedding[None],
                 (n_prompt,) + self.nc_embedding.shape)
             nc = jnp.concatenate(
                 [nc[:, :1], ctx.astype(nc.dtype),
                  nc[:, 1 + self.n_ctx:]], axis=1)
+            nc_eots = np.full((n_prompt,), self.nc_eot, np.int32)
 
-            rows = jnp.concatenate([flat, nc.astype(flat.dtype)], axis=0)
-            eots = jnp.concatenate(
-                [jnp.repeat(self.eot_pos, P),
-                 jnp.full((n_prompt,), self.nc_eot, jnp.int32)])
-            total = n_cls * P + n_prompt
-            out = M.normalize(M.encode_text_embedded(
-                frozen, self.clip_cfg, rows, eots,
-                remat=total >= _REMAT_MIN_TEXT_ROWS,
-                seq_len=max(self.seq_len, self.nc_eot + 1)))
-
-            tf = out[:n_cls * P].reshape(n_cls, P, -1)
-            if self._fanout is not None:
-                tf = jax.lax.with_sharding_constraint(
-                    tf, self._fanout["class"])
+            tf, nc_f = self._text_features_all(
+                ctx_b, pos_b, frozen, extra_rows=nc,
+                extra_eots=nc_eots)
             tf = tf.astype(jnp.float32)           # [n_cls, P, E]
-            nc_f = out[n_cls * P:].astype(jnp.float32)
+            nc_f = nc_f.astype(jnp.float32)
             text_mean = tf.mean(axis=1)           # [n_cls, E]
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(img_f, text_mean.T)

@@ -66,6 +66,21 @@ def test_transform_shapes(tmp_path):
     assert out.shape == (224, 224, 3) and out.dtype == np.uint8
 
 
+def test_bench_loader_smoke(tmp_path):
+    """The loader benchmark must stay runnable (it is the evidence for
+    the host-pipeline numbers in PERFORMANCE.md)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.bench_loader import bench_loader, make_fixture
+
+    paths = make_fixture(str(tmp_path / "jpgs"), 8, 300)
+    assert len(paths) == 8 and all(p.endswith(".jpg") for p in paths)
+    rate = bench_loader(paths, 64, workers=1, train=False, draft=True,
+                        batch_size=4, min_seconds=0.2)
+    assert rate > 0
+
+
 def test_jpeg_draft_decode(tmp_path):
     """DATALOADER.JPEG_DRAFT: decode-time downscaling must keep both
     dims >= the target (full resize quality available downstream), be a
@@ -109,6 +124,21 @@ def test_jpeg_draft_decode(tmp_path):
     diff = np.abs(out_draft["img"][0].astype(np.int32)
                   - out_full["img"][0].astype(np.int32))
     assert diff.mean() < 8.0
+
+    # DataManager wiring: eval/val loaders draft, the TRAIN loader never
+    # does (RandomResizedCrop would upsample low-detail crops)
+    cfg2 = get_cfg_default()
+    cfg2.DATASET.ROOT = str(tmp_path)
+    cfg2.DATASET.NAME = "Synthetic"
+    cfg2.DATASET.NUM_SHOTS = 2
+    cfg2.SEED = 1
+    cfg2.INPUT.SIZE = (32, 32)
+    cfg2.DATALOADER.JPEG_DRAFT = True
+    dm = DataManager(cfg2)
+    assert dm.train_loader_x.draft_size == 0
+    assert dm.test_loader.draft_size == 32
+    if dm.val_loader is not None:
+        assert dm.val_loader.draft_size == 32
 
 
 def test_synthetic_datamanager(tmp_path):
