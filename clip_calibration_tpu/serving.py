@@ -324,7 +324,7 @@ def build_serving_trainer(classnames: Sequence[str],
         ServingTrainer.__qualname__ = ServingTrainer.__name__
         return ServingTrainer
 
-    # Calibration wrappers (TempScaling, VLCalibration) build their base
+    # Calibration wrappers (TempScaling, PTS) build their base
     # learner through TRAINER_REGISTRY.get inside build_model — route
     # those nested builds through the same dataset-free subclass for the
     # duration of this construction. The patch is process-global, so
@@ -415,6 +415,14 @@ class TrainerPredictor:
     def predict(self, images: np.ndarray) -> dict:
         """images: uint8 [N, H, W, 3] at the model resolution."""
         images = np.asarray(images)
+        if images.dtype != np.uint8 or images.ndim != 4:
+            # trainers normalize uint8 on device — float input would be
+            # silently re-scaled into garbage, not an error
+            raise ValueError(
+                f"TrainerPredictor.predict expects uint8 [N, H, W, 3] "
+                f"images; got {images.dtype} {images.shape} — apply "
+                f"host-side geometry first "
+                f"(data/transforms.build_transform)")
         n = images.shape[0]
         n_cls = self.trainer.dm.num_classes
         if n == 0:

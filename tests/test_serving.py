@@ -103,11 +103,20 @@ def test_dac_confidence_and_temperature_paths():
 
 
 def test_rejects_float_images():
-    from clip_calibration_tpu.serving import Predictor
+    from clip_calibration_tpu.serving import (Predictor, TrainerPredictor,
+                                              build_serving_trainer)
 
     pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=4)
     with pytest.raises(ValueError):
         pred.predict(np.zeros((2, 32, 32, 3), np.float32))
+    with pytest.raises(ValueError):
+        Predictor("ViT-Test", BASE, class_confidence=np.ones(3))
+
+    tp = TrainerPredictor(build_serving_trainer(
+        BASE, trainer_name="CoOp", backbone="ViT-Test",
+        opts=["INPUT.SIZE", "(32, 32)"]), batch_size=4)
+    with pytest.raises(ValueError):
+        tp.predict(np.zeros((2, 32, 32, 3), np.float32))
 
 
 def test_empty_batch_returns_empty_result():
