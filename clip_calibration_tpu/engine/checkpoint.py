@@ -57,6 +57,31 @@ def save_checkpoint(state: Dict[str, Any], save_dir: str,
     return fpath
 
 
+def export_torch_checkpoint(state_dict: Dict[str, Any], epoch: int,
+                            dst_path: str) -> str:
+    """Write a reference-consumable torch ``.pth.tar``: a nested numpy/
+    jax pytree becomes a dotted-key fp32 tensor state dict inside
+    ``{"state_dict", "epoch"}`` — exactly what Dassl's
+    ``load_checkpoint`` + ``load_state_dict(strict=False)`` consume
+    (reference ``coop.py:330-343``). The interop mirror of
+    ``_load_torch``: train here, eval in the reference."""
+    import torch
+    os.makedirs(osp.dirname(dst_path) or ".", exist_ok=True)
+    flat = flatten_params(state_dict)
+    sd = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if str(v.dtype) == "bfloat16":
+            import ml_dtypes  # noqa: F401  (registers the dtype)
+            v = v.astype(np.float32)
+        # .copy() (not ascontiguousarray, which promotes 0-d scalars to
+        # shape (1,)) keeps shapes exact and the buffer contiguous
+        sd[k.replace("/", ".")] = torch.from_numpy(
+            np.asarray(v, np.float32).copy())
+    torch.save({"state_dict": sd, "epoch": int(epoch)}, dst_path)
+    return dst_path
+
+
 def load_checkpoint(fpath: str) -> Dict[str, Any]:
     """Load either our npz checkpoints or reference torch .pth.tar files."""
     if not osp.exists(fpath):

@@ -309,6 +309,41 @@ class TrainerX:
         is identity (native checkpoints)."""
         return state
 
+    def convert_to_reference_state(self, name: str,
+                                   state: Dict[str, Any]):
+        """Inverse hook of ``convert_reference_state``: map this
+        trainer's param pytree to the reference's state-dict layout
+        (nested dicts become dotted keys on export, [in,out] matmul
+        weights transpose back to torch [out,in]). Default identity —
+        raw parameter tensors share names with the reference's
+        learnables (e.g. CoOp-family ``ctx``)."""
+        return state
+
+    def export_reference_checkpoint(self, directory: str, dst_dir: str,
+                                    epoch: Optional[int] = None):
+        """Export this trainer's checkpoints to the reference's torch
+        format so reference users can consume models trained here: for
+        each registered model, resolve our npz file, apply
+        ``convert_to_reference_state``, and write a torch ``.pth.tar``
+        under the reference's registered model name (the last
+        ``checkpoint_dir_aliases`` entry, e.g. MaPLe ->
+        MultiModalPromptLearner). Returns the written paths."""
+        from .checkpoint import export_torch_checkpoint
+        written = []
+        for name in self.get_model_names():
+            path = resolve_model_file(
+                osp.join(directory, name), epoch,
+                model_name=self.checkpoint_model_name)
+            ckpt = load_checkpoint(path)
+            state = self.convert_to_reference_state(
+                name, ckpt["state_dict"])
+            ref_name = self.checkpoint_dir_aliases(name)[-1]
+            dst = osp.join(dst_dir, ref_name, osp.basename(path))
+            written.append(export_torch_checkpoint(
+                state, ckpt["epoch"], dst))
+            print(f'Exported {name} -> "{dst}" (reference torch format)')
+        return written
+
     def load_model(self, directory: str, epoch: Optional[int] = None):
         if not directory:
             print("Note that load_model() is skipped as no pretrained "

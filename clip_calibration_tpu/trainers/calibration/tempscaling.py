@@ -176,6 +176,11 @@ class TempScaling(VLBaseLearner):
     # scaling run auto-resumes (epoch + optimizer state) like any other
     checkpoint_model_name = "model-calibrated"
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse interop: the reference ScaleLearner's parameter is
+        named ``logit_scale`` (tempscaling.py:34-41)."""
+        return {"logit_scale": np.asarray(state["scale"])}
+
     def load_model(self, directory, epoch=None):
         """Load the scale learner from model-calibrated checkpoints
         (reference ``tempscaling.py:258-301``). Base prompts were already
@@ -189,6 +194,10 @@ class TempScaling(VLBaseLearner):
                  else f"model-calibrated.pth.tar-{epoch}")
         path = osp.join(directory, "scale_learner", fname)
         ckpt = load_checkpoint(path)
+        state = dict(ckpt["state_dict"])
+        if "logit_scale" in state and "scale" not in state:
+            # reference ScaleLearner naming (tempscaling.py:34-41)
+            state["scale"] = state.pop("logit_scale")
         print(f'Loading weights to scale_learner from "{path}" '
               f'(epoch = {ckpt["epoch"]})')
-        self._set_params("scale_learner", ckpt["state_dict"])
+        self._set_params("scale_learner", state)

@@ -129,6 +129,11 @@ class CLIP_Adapter(VLBaseLearner):
                                 self.clip_params, self.text_features,
                                 self.put_batch(images))
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse: ours -> reference fc.{0,2}.weight ([out,in])."""
+        return {"fc": {"0": {"weight": np.asarray(state["w1"]).T},
+                       "2": {"weight": np.asarray(state["w2"]).T}}}
+
     def convert_reference_state(self, name, state):
         """Reference Adapter checkpoints hold fc.0.weight / fc.2.weight
         (torch [out,in] bias-free Linears)."""

@@ -223,6 +223,20 @@ class CoCoOp(VLBaseLearner):
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.clip_params, self.put_batch(images))
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse of convert_reference_state: ours -> torch meta_net
+        layout ([out,in] Linear weights)."""
+        state = dict(state)
+        meta = state.pop("meta", None)
+        if meta is not None:
+            state["meta_net"] = {
+                "linear1": {"weight": np.asarray(meta["w1"]).T,
+                            "bias": np.asarray(meta["b1"])},
+                "linear2": {"weight": np.asarray(meta["w2"]).T,
+                            "bias": np.asarray(meta["b2"])},
+            }
+        return state
+
     def convert_reference_state(self, name, state):
         """Reference prompt_learner checkpoints hold
         meta_net.linear{1,2}.{weight,bias} (torch [out,in] weights)."""

@@ -171,6 +171,27 @@ class MaPLe(VLBaseLearner):
         # the reference registers the whole model as MultiModalPromptLearner
         return [name, "MultiModalPromptLearner"]
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse of convert_reference_state: ours -> the reference's
+        prompt_learner.{ctx, proj.*, compound_prompts_text.N,
+        compound_prompt_projections.N.*} layout."""
+        import numpy as np
+        out = {"ctx": np.asarray(state["ctx"]),
+               "proj": {"weight": np.asarray(state["proj_w"]).T,
+                        "bias": np.asarray(state["proj_b"])}}
+        ct = state.get("compound_text")
+        if ct is not None:
+            ct = np.asarray(ct)
+            out["compound_prompts_text"] = {
+                str(i): ct[i] for i in range(ct.shape[0])}
+            out["compound_prompt_projections"] = {
+                str(i): {
+                    "weight":
+                        np.asarray(state["compound_proj_w"][i]).T,
+                    "bias": np.asarray(state["compound_proj_b"][i]),
+                } for i in range(ct.shape[0])}
+        return {"prompt_learner": out}
+
     def convert_reference_state(self, name, state):
         """Reference MaPLe checkpoints are whole-model state dicts with
         prompt_learner.{ctx, proj.*, compound_prompts_text.N,

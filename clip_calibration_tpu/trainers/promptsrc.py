@@ -225,6 +225,25 @@ class PromptSRC(VLBaseLearner):
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.clip_params, self.put_batch(images))
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse: ours -> the reference's whole-model prompt keys
+        (prompt_learner.ctx, image_encoder.VPT, per-layer
+        VPT_shallow rows in both towers)."""
+        def tower(deep):
+            blocks = {}
+            if deep is not None:
+                deep = np.asarray(deep)
+                blocks = {str(i + 1): {"VPT_shallow": deep[i]}
+                          for i in range(deep.shape[0])}
+            return {"transformer": {"resblocks": blocks}}
+
+        out = {"prompt_learner": {"ctx": np.asarray(state["ctx"])},
+               "image_encoder": {
+                   "VPT": np.asarray(state["vpt_shallow"]),
+                   **tower(state.get("deep_vis"))},
+               "text_encoder": tower(state.get("deep_text"))}
+        return out
+
     def convert_reference_state(self, name, state):
         """Reference PromptSRC checkpoints are whole-model state dicts:
         prompt_learner.ctx, image_encoder.VPT, and per-layer

@@ -134,6 +134,12 @@ class TaskRes(VLBaseLearner):
         # the reference registers TaskResLearner under "prompt_learner"
         return [name, "prompt_learner"]
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse: ours -> reference text_feature_residuals (the
+        reference also stores base_text_features, which its strict=False
+        load tolerates missing)."""
+        return {"text_feature_residuals": np.asarray(state["residual"])}
+
     def convert_reference_state(self, name, state):
         """Reference TaskRes checkpoints hold base_text_features +
         text_feature_residuals; only the residual is ours to load."""

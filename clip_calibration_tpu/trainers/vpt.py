@@ -136,6 +136,19 @@ class VPT(VLBaseLearner):
         # the reference registers the whole model under "prompt_learner"
         return [name, "prompt_learner"]
 
+    def convert_to_reference_state(self, name, state):
+        """Inverse: ours -> reference image_encoder.VPT +
+        resblocks.N.VPT_shallow layout."""
+        enc = {"VPT": np.asarray(state["shallow"]),
+               "transformer": {"resblocks": {}}}
+        deep = state.get("deep")
+        if deep is not None:
+            deep = np.asarray(deep)
+            enc["transformer"]["resblocks"] = {
+                str(i + 1): {"VPT_shallow": deep[i]}
+                for i in range(deep.shape[0])}
+        return {"image_encoder": enc}
+
     def convert_reference_state(self, name, state):
         """Reference VPT checkpoints are whole-model state dicts with
         image_encoder.VPT and per-layer resblocks.N.VPT_shallow."""

@@ -193,6 +193,16 @@ def main(args):
     if not args.no_train:
         trainer.train()
 
+    if args.export_reference_checkpoints:
+        # write reference-consumable torch .pth.tar copies of the run's
+        # checkpoints (engine/trainer.py::export_reference_checkpoint) —
+        # a reference-stack user can load them with Dassl's
+        # load_checkpoint + strict=False (reference coop.py:330-343)
+        import os.path as osp
+        trainer.export_reference_checkpoint(
+            cfg.OUTPUT_DIR, osp.join(cfg.OUTPUT_DIR, "reference_export"),
+            epoch=args.load_epoch)
+
 
 def build_parser():
     parser = argparse.ArgumentParser()
@@ -219,6 +229,12 @@ def build_parser():
     parser.add_argument("--base-learner", type=str, default="")
     parser.add_argument("--load-epoch", type=int)
     parser.add_argument("--no-train", action="store_true")
+    parser.add_argument("--export-reference-checkpoints",
+                        action="store_true",
+                        help="after training, export this run's "
+                             "checkpoints as reference-format torch "
+                             ".pth.tar files under "
+                             "<output>/reference_export/")
     parser.add_argument("--calibration-config", type=str)
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
