@@ -92,6 +92,18 @@ def load_checkpoint(fpath: str) -> Dict[str, Any]:
         return _load_torch(fpath)
 
 
+def is_native_checkpoint(fpath: str) -> bool:
+    """True if ``fpath`` is this framework's npz checkpoint (both formats
+    share the reference's ``model.pth.tar-N`` file naming — the format
+    lives in the bytes, not the extension)."""
+    try:
+        with open(fpath, "rb") as f:
+            data = np.load(io.BytesIO(f.read()), allow_pickle=False)
+            return "__epoch__" in data.files
+    except (ValueError, OSError):
+        return False
+
+
 def _load_npz(fpath: str) -> Dict[str, Any]:
     import ml_dtypes
     with open(fpath, "rb") as f:

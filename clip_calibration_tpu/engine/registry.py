@@ -8,11 +8,15 @@ classes at import time; the driver looks them up by the name in the config.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 
 class Registry:
     def __init__(self, name: str):
         self._name = name
         self._obj_map: dict = {}
+        self._local = threading.local()
 
     def register(self, obj=None):
         if obj is None:  # used as decorator
@@ -34,7 +38,23 @@ class Registry:
             raise KeyError(
                 f"'{name}' not found in {self._name} registry. "
                 f"Available: {sorted(self._obj_map)}")
-        return self._obj_map[name]
+        obj = self._obj_map[name]
+        wrapper = getattr(self._local, "wrapper", None)
+        return obj if wrapper is None else wrapper(obj)
+
+    @contextlib.contextmanager
+    def wrapped(self, wrapper):
+        """Thread-locally wrap every ``get`` result for the duration of
+        the context (nested lookups included — e.g. TempScaling building
+        its base learner inside ``build_model``). Other threads see the
+        registry unchanged, so a concurrent real ``build_trainer`` can
+        never pick up a serving subclass."""
+        prev = getattr(self._local, "wrapper", None)
+        self._local.wrapper = wrapper
+        try:
+            yield
+        finally:
+            self._local.wrapper = prev
 
     def registered_names(self):
         return sorted(self._obj_map)

@@ -331,12 +331,29 @@ class TrainerX:
         from .checkpoint import export_torch_checkpoint
         written = []
         for name in self.get_model_names():
-            path = resolve_model_file(
-                osp.join(directory, name), epoch,
-                model_name=self.checkpoint_model_name)
+            # same alias search as load_model: the source dir may be
+            # laid out under the reference's registered names
+            path = None
+            for alias in self.checkpoint_dir_aliases(name):
+                try:
+                    path = resolve_model_file(
+                        osp.join(directory, alias), epoch,
+                        model_name=self.checkpoint_model_name)
+                    break
+                except FileNotFoundError:
+                    continue
+            if path is None:
+                raise FileNotFoundError(
+                    f"No checkpoint for {name!r} under {directory!r} "
+                    f"(tried {self.checkpoint_dir_aliases(name)})")
+            from .checkpoint import is_native_checkpoint
             ckpt = load_checkpoint(path)
-            state = self.convert_to_reference_state(
-                name, ckpt["state_dict"])
+            state = ckpt["state_dict"]
+            if is_native_checkpoint(path):
+                state = self.convert_to_reference_state(name, state)
+            # else: a torch file here IS a reference-layout checkpoint
+            # (load_model's supported input) — pass its state through
+            # unchanged instead of crashing in the inverse hook
             ref_name = self.checkpoint_dir_aliases(name)[-1]
             dst = osp.join(dst_dir, ref_name, osp.basename(path))
             written.append(export_torch_checkpoint(

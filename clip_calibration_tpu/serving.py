@@ -21,7 +21,6 @@ host-side geometry.
 
 from __future__ import annotations
 
-import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -40,9 +39,6 @@ from .ops.scoring import fused_dac_scores
 # pressure HBM on very large image sets (each pending chunk pins its
 # input batch on device until fetched).
 _MAX_IN_FLIGHT = 4
-
-# serializes build_serving_trainer's registry patch (see its docstring)
-_SERVING_BUILD_LOCK = threading.Lock()
 
 
 def _drain_batched(images: np.ndarray, batch_size: int, dispatch,
@@ -327,17 +323,11 @@ def build_serving_trainer(classnames: Sequence[str],
     # Calibration wrappers (TempScaling, PTS) build their base
     # learner through TRAINER_REGISTRY.get inside build_model — route
     # those nested builds through the same dataset-free subclass for the
-    # duration of this construction. The patch is process-global, so
-    # builds are serialized under a lock; a concurrent build_trainer on
-    # ANOTHER thread during the window would still see the serving
-    # subclass — construct trainers from one thread at a time.
-    with _SERVING_BUILD_LOCK:
-        orig_get = TRAINER_REGISTRY.get
-        TRAINER_REGISTRY.get = lambda name: serving_class(orig_get(name))
-        try:
-            trainer = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
-        finally:
-            del TRAINER_REGISTRY.get  # restore the class method
+    # duration of this construction. The override is thread-local
+    # (Registry.wrapped), so a concurrent build_trainer on another
+    # thread sees the registry unchanged.
+    with TRAINER_REGISTRY.wrapped(serving_class):
+        trainer = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
     return trainer
 
 
@@ -375,7 +365,9 @@ class TrainerPredictor:
             raise ValueError(
                 f"class_confidence has {len(class_confidence)} entries "
                 f"for {n_cls} classes")
-        self.class_confidence = (
+        # device array once — predict() reuses it (on the remote tunnel
+        # a per-call H2D upload would add avoidable latency)
+        self.class_confidence = jnp.asarray(
             np.ones((n_cls,), np.float32) if class_confidence is None
             else np.asarray(class_confidence, np.float32))
 
@@ -430,7 +422,7 @@ class TrainerPredictor:
                     "preds": np.zeros((0,), np.int64),
                     "confidences": np.zeros((0,), np.float32)}
         from .parallel.mesh import to_host_global
-        conf = jnp.asarray(self.class_confidence)
+        conf = self.class_confidence
 
         def dispatch(batch):
             logits, _, _ = self.trainer.model_inference(batch)

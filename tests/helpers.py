@@ -1,0 +1,57 @@
+"""Shared test helpers (plain functions — importable from any test via
+the tests-dir sys.path entry pytest prepends).
+
+``build_synthetic_trainer`` is THE synthetic ViT-Test trainer builder:
+test_parallel, test_serving and test_export_reference_ckpt all
+construct the same tiny trainer and previously carried three diverging
+copies of this cfg block.
+"""
+
+from __future__ import annotations
+
+
+def build_synthetic_trainer(name, data_root, seed=1, output_dir=None,
+                            num_shots=4, mesh_shape=None,
+                            trainer_cfg=None, overrides=None,
+                            freeze=False):
+    """Registered trainer over the Synthetic dataset on the ViT-Test
+    backbone (32x32 inputs).
+
+    ``trainer_cfg``: kwargs set on the trainer's own config node
+    (``cfg.TRAINER.<NAME>``). ``overrides``: dotted-key cfg settings
+    (e.g. ``{"DATALOADER.TEST.BATCH_SIZE": 16}``) applied before the
+    trainer node.
+    """
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.base import set_random_seed
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+    import clip_calibration_tpu.trainers  # noqa: F401
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+
+    cfg = get_cfg_default()
+    cfg.TEST.EVALUATOR = "VLClassification"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.ROOT = str(data_root)
+    cfg.DATASET.NUM_SHOTS = num_shots
+    cfg.SEED = seed
+    if output_dir is not None:
+        cfg.OUTPUT_DIR = str(output_dir)
+    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.NAME = name
+    if mesh_shape is not None:
+        cfg.TPU.MESH_SHAPE = mesh_shape
+    for key, v in (overrides or {}).items():
+        node = cfg
+        *parts, last = key.split(".")
+        for p in parts:
+            node = getattr(node, p)
+        setattr(node, last, v)
+    node = getattr(cfg.TRAINER, name.upper().replace("-", "_"), None)
+    for k, v in (trainer_cfg or {}).items():
+        setattr(node, k, v)
+    if freeze:
+        cfg.freeze()
+    set_random_seed(seed)
+    return TRAINER_REGISTRY.get(name)(cfg)

@@ -28,28 +28,11 @@ sys.path.insert(0, REPO)
 
 
 def _build(name, tmp_path, seed=1, **tcfg):
-    from clip_calibration_tpu.config import get_cfg_default
-    from clip_calibration_tpu.data.base import set_random_seed
-    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
-    import clip_calibration_tpu.trainers  # noqa: F401
-    import clip_calibration_tpu.data.datasets  # noqa: F401
-    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+    from helpers import build_synthetic_trainer
 
-    cfg = get_cfg_default()
-    cfg.TEST.EVALUATOR = "VLClassification"
-    cfg.DATASET.ROOT = str(tmp_path / "data")
-    cfg.DATASET.NAME = "Synthetic"
-    cfg.DATASET.NUM_SHOTS = 2
-    cfg.SEED = seed
-    cfg.OUTPUT_DIR = str(tmp_path / "out")
-    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
-    cfg.INPUT.SIZE = (32, 32)
-    cfg.TRAINER.NAME = name
-    node = getattr(cfg.TRAINER, name.upper().replace("-", "_"), None)
-    for k, v in tcfg.items():
-        setattr(node, k, v)
-    set_random_seed(seed)
-    return TRAINER_REGISTRY.get(name)(cfg)
+    return build_synthetic_trainer(
+        name, tmp_path / "data", seed=seed,
+        output_dir=tmp_path / "out", num_shots=2, trainer_cfg=tcfg)
 
 
 CASES = [
@@ -124,21 +107,43 @@ def test_export_roundtrip(name, tcfg, tmp_path):
     # forward converters the reference-fixture tests validate
     t2 = _build(name, tmp_path, seed=2, **tcfg)
     t2.load_model(exported, epoch=1)
+    from clip_calibration_tpu.models.weights import flatten_params
+
     for mname in t.get_model_names():
-        a = t.model_params(mname)
-        b = t2.model_params(mname)
-        flat_a, flat_b = {}, {}
-
-        def flat(d, out, pre=""):
-            for k, v in d.items():
-                if isinstance(v, dict):
-                    flat(v, out, pre + k + "/")
-                else:
-                    out[pre + k] = np.asarray(v, np.float32)
-
-        flat(a, flat_a), flat(b, flat_b)
+        flat_a = {k: np.asarray(v, np.float32) for k, v in
+                  flatten_params(t.model_params(mname)).items()}
+        flat_b = {k: np.asarray(v, np.float32) for k, v in
+                  flatten_params(t2.model_params(mname)).items()}
         assert set(flat_a) == set(flat_b)
         for k in flat_a:
             np.testing.assert_allclose(
                 flat_b[k], flat_a[k], rtol=1e-6, atol=1e-6,
                 err_msg=f"{name}:{mname}:{k}")
+
+
+def test_export_from_reference_layout_passes_through(tmp_path):
+    """Export pointed at a directory that already holds REFERENCE-layout
+    torch checkpoints (a supported load_model input, possibly under the
+    reference's registered dir name) must pass the state through instead
+    of crashing in the inverse hook — and must resolve the source
+    through the same checkpoint_dir_aliases load_model uses."""
+    import torch
+
+    t = _build("MaPLe", tmp_path, N_CTX=2, PROMPT_DEPTH=2)
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    t.export_reference_checkpoint(native, exported, epoch=1)
+    # `exported` now holds torch files under the reference dir name
+    # (MultiModalPromptLearner) — exporting FROM it must work
+    again = str(tmp_path / "again")
+    paths = t.export_reference_checkpoint(exported, again, epoch=1)
+    assert paths and all(osp.exists(p) for p in paths)
+    a = torch.load(osp.join(exported, "MultiModalPromptLearner",
+                            "model.pth.tar-1"),
+                   map_location="cpu", weights_only=False)
+    b = torch.load(paths[0], map_location="cpu", weights_only=False)
+    assert set(a["state_dict"]) == set(b["state_dict"])
+    for k in a["state_dict"]:
+        np.testing.assert_array_equal(a["state_dict"][k].numpy(),
+                                      b["state_dict"][k].numpy())

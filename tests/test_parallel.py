@@ -123,35 +123,19 @@ def test_trainer_data_parallel_matches_single_device(tmp_path):
 def _build_trainer(name, tmp_path, mesh_shape, **tcfg):
     """Real trainer on the synthetic dataset; mesh_shape=None forces the
     single-device path."""
-    from clip_calibration_tpu.config import get_cfg_default
-    from clip_calibration_tpu.data.base import set_random_seed
-    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
-    import clip_calibration_tpu.trainers  # noqa: F401
-    import clip_calibration_tpu.data.datasets  # noqa: F401
-    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+    from helpers import build_synthetic_trainer
 
-    cfg = get_cfg_default()
-    cfg.DATASET.ROOT = str(tmp_path / "data")
-    cfg.DATASET.NAME = "Synthetic"
-    cfg.DATASET.NUM_SHOTS = 4
-    cfg.DATASET.SUBSAMPLE_CLASSES = "base"
-    cfg.SEED = 1
-    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
-    cfg.INPUT.SIZE = (32, 32)
-    cfg.INPUT.INTERPOLATION = "bicubic"
-    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8   # divisible by the data axis
-    cfg.DATALOADER.TEST.BATCH_SIZE = 16
-    cfg.TEST.EVALUATOR = "VLClassification"
-    cfg.OPTIM.NAME = "sgd"
-    cfg.OPTIM.LR = 0.02
-    cfg.TRAINER.NAME = name
-    if mesh_shape is not None:
-        cfg.TPU.MESH_SHAPE = mesh_shape
-    node = getattr(cfg.TRAINER, name.upper().replace("-", "_"))
-    for k, v in tcfg.items():
-        setattr(node, k, v)
-    set_random_seed(1)
-    trainer = TRAINER_REGISTRY.get(name)(cfg)
+    trainer = build_synthetic_trainer(
+        name, tmp_path / "data", mesh_shape=mesh_shape,
+        trainer_cfg=tcfg,
+        overrides={
+            "DATASET.SUBSAMPLE_CLASSES": "base",
+            "INPUT.INTERPOLATION": "bicubic",
+            "DATALOADER.TRAIN_X.BATCH_SIZE": 8,  # divides the data axis
+            "DATALOADER.TEST.BATCH_SIZE": 16,
+            "OPTIM.NAME": "sgd",
+            "OPTIM.LR": 0.02,
+        })
     if mesh_shape is None:
         trainer._mesh = None  # force single-device path
         # rebuild steps so the fan-out constraint reflects the mesh

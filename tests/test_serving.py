@@ -156,27 +156,13 @@ def test_mesh_sharded_predictor_matches_single_device():
     np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
 
 
-def _build_maple_trainer(tmp_path, with_dataset=True):
-    from clip_calibration_tpu.config import get_cfg_default
-    from clip_calibration_tpu.engine.registry import build_trainer
-    import clip_calibration_tpu.trainers  # noqa: F401
-    import clip_calibration_tpu.data.datasets  # noqa: F401
-    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+def _build_maple_trainer(tmp_path):
+    from helpers import build_synthetic_trainer
 
-    cfg = get_cfg_default()
-    cfg.TEST.EVALUATOR = "VLClassification"
-    cfg.DATASET.NAME = "Synthetic"
-    cfg.DATASET.ROOT = str(tmp_path)
-    cfg.DATASET.NUM_SHOTS = 4
-    cfg.SEED = 1
-    cfg.OUTPUT_DIR = str(tmp_path / "out")
-    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
-    cfg.INPUT.SIZE = (32, 32)
-    cfg.TRAINER.NAME = "MaPLe"
-    cfg.TRAINER.MAPLE.N_CTX = 2
-    cfg.TRAINER.MAPLE.PROMPT_DEPTH = 2  # ViT-Test: 2 layers
-    cfg.freeze()
-    return build_trainer(cfg)
+    return build_synthetic_trainer(
+        "MaPLe", tmp_path, output_dir=tmp_path / "out",
+        trainer_cfg=dict(N_CTX=2, PROMPT_DEPTH=2),  # ViT-Test: 2 layers
+        freeze=True)
 
 
 def test_trainer_predictor_from_checkpoint_dataset_free(tmp_path):
@@ -344,3 +330,29 @@ def test_trainer_predictor_serves_any_trainer(tmp_path):
     np.testing.assert_allclose(out_dac["probs"],
                                softmax(scaled, axis=1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_serving_build_does_not_leak_into_other_threads(tmp_path):
+    """The dataset-free serving build wraps TRAINER_REGISTRY.get
+    thread-locally; a concurrent build_trainer on another thread must
+    get the REAL trainer class, never a serving subclass (which would
+    silently train nothing — its loader stub is empty)."""
+    import threading
+
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+    import clip_calibration_tpu.trainers  # noqa: F401
+
+    real = TRAINER_REGISTRY.get("CoOp")
+    seen = {}
+
+    with TRAINER_REGISTRY.wrapped(lambda cls: ("wrapped", cls)):
+        assert TRAINER_REGISTRY.get("CoOp") == ("wrapped", real)
+
+        def other():
+            seen["cls"] = TRAINER_REGISTRY.get("CoOp")
+
+        th = threading.Thread(target=other)
+        th.start()
+        th.join()
+    assert seen["cls"] is real                 # other thread: unwrapped
+    assert TRAINER_REGISTRY.get("CoOp") is real  # restored after exit
