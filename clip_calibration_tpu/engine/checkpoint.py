@@ -83,25 +83,18 @@ def export_torch_checkpoint(state_dict: Dict[str, Any], epoch: int,
 
 
 def load_checkpoint(fpath: str) -> Dict[str, Any]:
-    """Load either our npz checkpoints or reference torch .pth.tar files."""
+    """Load either our npz checkpoints or reference torch .pth.tar files.
+
+    The returned dict's ``"native"`` key says which format the bytes
+    were (both formats share the reference's ``model.pth.tar-N`` file
+    naming) — callers that care about provenance (e.g. reference
+    export's pass-through) read it instead of re-sniffing the file."""
     if not osp.exists(fpath):
         raise FileNotFoundError(f'Checkpoint not found at "{fpath}"')
     try:
         return _load_npz(fpath)
     except (ValueError, OSError):
         return _load_torch(fpath)
-
-
-def is_native_checkpoint(fpath: str) -> bool:
-    """True if ``fpath`` is this framework's npz checkpoint (both formats
-    share the reference's ``model.pth.tar-N`` file naming — the format
-    lives in the bytes, not the extension)."""
-    try:
-        with open(fpath, "rb") as f:
-            data = np.load(io.BytesIO(f.read()), allow_pickle=False)
-            return "__epoch__" in data.files
-    except (ValueError, OSError):
-        return False
 
 
 def _load_npz(fpath: str) -> Dict[str, Any]:
@@ -125,7 +118,8 @@ def _load_npz(fpath: str) -> Dict[str, Any]:
                 flat[k[3:]] = data[k].view(ml_dtypes.bfloat16)
             else:
                 flat[k] = data[k]
-    out = {"state_dict": unflatten_params(flat), "epoch": epoch}
+    out = {"state_dict": unflatten_params(flat), "epoch": epoch,
+           "native": True}
     if opt_leaves:
         out["opt_leaves"] = [opt_leaves[i] for i in range(len(opt_leaves))]
     return out
@@ -139,7 +133,7 @@ def _load_torch(fpath: str) -> Dict[str, Any]:
     flat = {k.replace(".", "/"): v.detach().float().numpy()
             for k, v in sd.items()}
     return {"state_dict": unflatten_params(flat),
-            "epoch": int(ckpt.get("epoch", 0))}
+            "epoch": int(ckpt.get("epoch", 0)), "native": False}
 
 
 def resolve_model_file(directory: str, epoch: Optional[int] = None,

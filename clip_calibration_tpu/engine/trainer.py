@@ -346,10 +346,9 @@ class TrainerX:
                 raise FileNotFoundError(
                     f"No checkpoint for {name!r} under {directory!r} "
                     f"(tried {self.checkpoint_dir_aliases(name)})")
-            from .checkpoint import is_native_checkpoint
             ckpt = load_checkpoint(path)
             state = ckpt["state_dict"]
-            if is_native_checkpoint(path):
+            if ckpt["native"]:
                 state = self.convert_to_reference_state(name, state)
             # else: a torch file here IS a reference-layout checkpoint
             # (load_model's supported input) — pass its state through

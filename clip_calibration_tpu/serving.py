@@ -203,21 +203,22 @@ class Predictor:
         Returns dict(probs [N, C] fp32, preds [N], confidences [N]).
         """
         images = np.asarray(images)
+        if images.size == 0:  # upstream filters can drop every image
+            n_cls = len(self.classnames)
+            return {"probs": np.zeros((0, n_cls), np.float32),
+                    "preds": np.zeros((0,), np.int64),
+                    "confidences": np.zeros((0,), np.float32)}
         if images.dtype != np.uint8:
             raise ValueError("Predictor.predict expects uint8 images; "
                              "apply host-side geometry first")
         res = self.cfg.image_resolution
-        if images.ndim != 4 or images.shape[1:3] != (res, res):
+        if images.ndim != 4 or images.shape[1:3] != (res, res) or \
+                images.shape[-1] != 3:
             raise ValueError(
                 f"expected [N, {res}, {res}, 3] images; got "
                 f"{images.shape} — resize host-side "
                 f"(data/transforms.build_transform)")
         n = images.shape[0]
-        if n == 0:  # upstream filters can legitimately drop every image
-            n_cls = len(self.classnames)
-            return {"probs": np.zeros((0, n_cls), np.float32),
-                    "preds": np.zeros((0,), np.int64),
-                    "confidences": np.zeros((0,), np.float32)}
         scale = self.params["logit_scale"]
         if self.temperature is not None:
             # tempered logits: temperature REPLACES exp(logit_scale)
@@ -407,20 +408,22 @@ class TrainerPredictor:
     def predict(self, images: np.ndarray) -> dict:
         """images: uint8 [N, H, W, 3] at the model resolution."""
         images = np.asarray(images)
-        if images.dtype != np.uint8 or images.ndim != 4:
+        n_cls = self.trainer.dm.num_classes
+        if images.size == 0:
+            return {"probs": np.zeros((0, n_cls), np.float32),
+                    "preds": np.zeros((0,), np.int64),
+                    "confidences": np.zeros((0,), np.float32)}
+        if images.dtype != np.uint8 or images.ndim != 4 or \
+                images.shape[-1] != 3:
             # trainers normalize uint8 on device — float input would be
-            # silently re-scaled into garbage, not an error
+            # silently re-scaled into garbage, not an error; channels-
+            # first [N,3,H,W] would mix channels into spatial positions
             raise ValueError(
                 f"TrainerPredictor.predict expects uint8 [N, H, W, 3] "
                 f"images; got {images.dtype} {images.shape} — apply "
                 f"host-side geometry first "
                 f"(data/transforms.build_transform)")
         n = images.shape[0]
-        n_cls = self.trainer.dm.num_classes
-        if n == 0:
-            return {"probs": np.zeros((0, n_cls), np.float32),
-                    "preds": np.zeros((0,), np.int64),
-                    "confidences": np.zeros((0,), np.float32)}
         from .parallel.mesh import to_host_global
         conf = self.class_confidence
 

@@ -181,10 +181,19 @@ class TempScaling(VLBaseLearner):
         named ``logit_scale`` (tempscaling.py:34-41)."""
         return {"logit_scale": np.asarray(state["scale"])}
 
+    def checkpoint_dir_aliases(self, name):
+        """The reference registers its scaler under ``tempscaling``
+        (reference ``tempscaling.py:111``), so its runs save — and its
+        ``load_model`` expects — ``<dir>/tempscaling/``. Native layout
+        first; last entry names the export directory."""
+        return ["scale_learner", "tempscaling"]
+
     def load_model(self, directory, epoch=None):
         """Load the scale learner from model-calibrated checkpoints
-        (reference ``tempscaling.py:258-301``). Base prompts were already
-        loaded from CALIBRATION.SCALING.BASE_DIR at build time."""
+        (reference ``tempscaling.py:258-301``), laid out under either
+        our ``scale_learner/`` or the reference's ``tempscaling/``. Base
+        prompts were already loaded from CALIBRATION.SCALING.BASE_DIR at
+        build time."""
         if not directory:
             print("Note that load_model() is skipped as no pretrained "
                   "model is given")
@@ -192,7 +201,15 @@ class TempScaling(VLBaseLearner):
         from ...engine.checkpoint import load_checkpoint
         fname = ("model-calibrated-best.pth.tar" if epoch is None
                  else f"model-calibrated.pth.tar-{epoch}")
-        path = osp.join(directory, "scale_learner", fname)
+        aliases = self.checkpoint_dir_aliases("scale_learner")
+        for alias in aliases:
+            path = osp.join(directory, alias, fname)
+            if osp.exists(path):
+                break
+        else:
+            raise FileNotFoundError(
+                f'No "{fname}" under {directory!r} (tried '
+                f'subdirectories {aliases})')
         ckpt = load_checkpoint(path)
         state = dict(ckpt["state_dict"])
         if "logit_scale" in state and "scale" not in state:

@@ -49,6 +49,11 @@ def build_synthetic_trainer(name, data_root, seed=1, output_dir=None,
             node = getattr(node, p)
         setattr(node, last, v)
     node = getattr(cfg.TRAINER, name.upper().replace("-", "_"), None)
+    if trainer_cfg and node is None:
+        raise ValueError(
+            f"trainer {name!r} has no cfg.TRAINER."
+            f"{name.upper().replace('-', '_')} node to apply "
+            f"{sorted(trainer_cfg)} to")
     for k, v in (trainer_cfg or {}).items():
         setattr(node, k, v)
     if freeze:

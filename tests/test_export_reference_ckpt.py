@@ -73,7 +73,13 @@ def test_tempscaling_export_roundtrip(tmp_path, monkeypatch):
     paths = t.export_reference_checkpoint(native, exported, epoch=1)
     ck = torch.load(paths[0], map_location="cpu", weights_only=False)
     assert "logit_scale" in ck["state_dict"]  # reference naming
+    # the reference registers the scaler as "tempscaling" (reference
+    # tempscaling.py:111) and its load_model joins <dir>/<name>/<file>
+    # — the export dir must use that name or the reference can't see it
+    assert osp.basename(osp.dirname(paths[0])) == "tempscaling"
 
+    # loading back from `exported` is exactly the reference-layout case:
+    # a torch file under tempscaling/, found via the alias search
     t2 = build_serving_trainer(["amber", "basalt"],
                                trainer_name="TempScaling",
                                backbone="ViT-Test", opts=opts)

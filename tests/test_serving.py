@@ -117,18 +117,33 @@ def test_rejects_float_images():
         opts=["INPUT.SIZE", "(32, 32)"]), batch_size=4)
     with pytest.raises(ValueError):
         tp.predict(np.zeros((2, 32, 32, 3), np.float32))
+    # channels-first uint8 (torch habit) would silently mix channels
+    # into spatial positions — must raise, not mis-normalize
+    with pytest.raises(ValueError):
+        pred.predict(np.zeros((2, 3, 32, 32), np.uint8))
+    with pytest.raises(ValueError):
+        tp.predict(np.zeros((2, 3, 32, 32), np.uint8))
 
 
 def test_empty_batch_returns_empty_result():
     """Upstream filters can drop every image; predict must return empty
-    arrays instead of crashing in np.concatenate."""
-    from clip_calibration_tpu.serving import Predictor
+    arrays instead of crashing in np.concatenate — including a bare []
+    (float64 dtype: the empty check must precede dtype validation)."""
+    from clip_calibration_tpu.serving import (Predictor, TrainerPredictor,
+                                              build_serving_trainer)
 
     pred = Predictor("ViT-Test", BASE, precision="fp32", batch_size=8)
-    out = pred.predict(np.zeros((0, 32, 32, 3), np.uint8))
+    for empty in (np.zeros((0, 32, 32, 3), np.uint8), []):
+        out = pred.predict(empty)
+        assert out["probs"].shape == (0, len(BASE))
+        assert out["preds"].shape == (0,)
+        assert out["confidences"].shape == (0,)
+    tp = TrainerPredictor(build_serving_trainer(
+        BASE, trainer_name="CoOp", backbone="ViT-Test",
+        opts=["INPUT.SIZE", "(32, 32)"]), batch_size=4)
+    out = tp.predict([])
     assert out["probs"].shape == (0, len(BASE))
     assert out["preds"].shape == (0,)
-    assert out["confidences"].shape == (0,)
 
 
 def test_mesh_sharded_predictor_matches_single_device():

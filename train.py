@@ -188,6 +188,14 @@ def main(args):
     if args.eval_only:
         trainer.load_model(args.model_dir, epoch=cfg.OPTIM.MAX_EPOCH)
         trainer.test()
+        if args.export_reference_checkpoints:
+            # eval-only: the checkpoints live in --model-dir, not the
+            # (fresh) output dir
+            import os.path as osp
+            src = args.model_dir or cfg.OUTPUT_DIR
+            trainer.export_reference_checkpoint(
+                src, osp.join(cfg.OUTPUT_DIR, "reference_export"),
+                epoch=args.load_epoch)
         return
 
     if not args.no_train:
