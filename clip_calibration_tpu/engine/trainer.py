@@ -128,6 +128,15 @@ class TrainerX:
         text_features) device arrays."""
         raise NotImplementedError
 
+    @property
+    def pixel_stats(self):
+        """(mean, std) for the device-side normalize — honors
+        ``cfg.INPUT.PIXEL_MEAN/STD`` and the Dassl "normalize"
+        transform flag (ops/preprocess.pixel_stats_from_cfg);
+        (None, None) means /255 only."""
+        from ..ops.preprocess import pixel_stats_from_cfg
+        return pixel_stats_from_cfg(self.cfg)
+
     def set_model_mode(self, mode: str):
         pass  # functional models carry no train/eval flags
 

@@ -19,10 +19,26 @@ def normalize_images(images: jnp.ndarray,
                      mean=CLIP_PIXEL_MEAN,
                      std=CLIP_PIXEL_STD,
                      dtype=jnp.bfloat16) -> jnp.ndarray:
-    """uint8 (or float [0,1]) NHWC -> normalized compute-dtype NHWC."""
+    """uint8 (or float [0,1]) NHWC -> normalized compute-dtype NHWC.
+
+    ``mean=None`` skips the mean/std step (Dassl's pipeline without
+    "normalize" in ``INPUT.TRANSFORMS`` is ToTensor only: just /255)."""
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         x = x / 255.0
+    if mean is None:
+        return x.astype(dtype)
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
     return ((x - mean) / std).astype(dtype)
+
+
+def pixel_stats_from_cfg(cfg):
+    """(mean, std) for the device-side normalize, honoring the Dassl
+    contract: ``Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)``
+    applies only when "normalize" is listed in ``cfg.INPUT.TRANSFORMS``
+    (the reference trainer yamls all list it, with the CLIP constants);
+    otherwise the pipeline is ToTensor only -> (None, None)."""
+    if "normalize" not in tuple(cfg.INPUT.TRANSFORMS):
+        return None, None
+    return tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)

@@ -297,6 +297,16 @@ def build_serving_trainer(classnames: Sequence[str],
 
     if cfg is None:
         cfg = get_cfg_default()
+        # serving default = the reference trainer yamls' normalize
+        # block (CLIP pixel stats; every shipped config sets exactly
+        # this) — the bare Dassl default of ToTensor-only would make a
+        # checkpoint served without its config_file normalize
+        # differently than it trained; Predictor uses the same
+        # constants (ops/preprocess.CLIP_PIXEL_MEAN/STD)
+        cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+        cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+        cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                                "normalize")
         if config_file:
             cfg.merge_from_file(config_file)
         if trainer_name:

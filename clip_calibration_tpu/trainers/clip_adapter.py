@@ -82,7 +82,8 @@ class CLIP_Adapter(VLBaseLearner):
         self._build_steps()
 
     def _features(self, adapter, frozen, txt_f, images):
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         img_f = M.encode_image(frozen, self.clip_cfg, x,
                                dtype=self.compute_dtype)
         ax = adapter_forward(adapter, img_f)

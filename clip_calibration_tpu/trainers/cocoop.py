@@ -111,7 +111,8 @@ class CoCoOp(VLBaseLearner):
         n_ctx = asm["n_ctx"]
         ccfg = self.clip_cfg
 
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         img_f = M.normalize(M.encode_image(frozen, ccfg, x,
                                            dtype=self.compute_dtype))
 

@@ -257,7 +257,8 @@ class CoOp(VLBaseLearner):
                                       seq_len=self.asm["seq_len"])
 
     def _image_features(self, frozen, images):
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         return M.encode_image(frozen, self.clip_cfg, x,
                               dtype=self.compute_dtype)
 

@@ -121,7 +121,8 @@ class MaPLe(VLBaseLearner):
             frozen, self.clip_cfg, prompts, self.asm["eot_pos"],
             deep_prompts=deep_text, deep_prompt_depth=depth,
             seq_len=self.asm["seq_len"])
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         img_f = M.encode_image(
             frozen, self.clip_cfg, x, shallow_prompts=shallow_vis,
             deep_prompts=deep_vis, deep_prompt_depth=depth,

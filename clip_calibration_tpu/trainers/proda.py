@@ -186,7 +186,8 @@ class ProDA(VLBaseLearner):
             ctx_b = ctx[batch_idx]
             pos_b = self.pos[batch_idx]
 
-            x = normalize_images(images, dtype=self.compute_dtype)
+            x = normalize_images(images, *self.pixel_stats,
+                                 dtype=self.compute_dtype)
             img_f = jax.lax.stop_gradient(M.normalize(M.encode_image(
                 frozen, self.clip_cfg, x, dtype=self.compute_dtype))
             ).astype(jnp.float32)
@@ -271,7 +272,8 @@ class ProDA(VLBaseLearner):
 
         @jax.jit
         def infer_step(frozen, txt_f, images):
-            x = normalize_images(images, dtype=self.compute_dtype)
+            x = normalize_images(images, *self.pixel_stats,
+                                 dtype=self.compute_dtype)
             img_n = M.normalize(M.encode_image(frozen, self.clip_cfg, x,
                                                dtype=self.compute_dtype))
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))

@@ -139,7 +139,8 @@ class PromptSRC(VLBaseLearner):
             deep_prompts=trainable.get("deep_text"),
             deep_prompt_depth=self.depth_text,
             seq_len=self.asm["seq_len"])
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         img_f = M.encode_image(
             frozen, self.clip_cfg, x,
             shallow_prompts=trainable["vpt_shallow"],
@@ -164,7 +165,8 @@ class PromptSRC(VLBaseLearner):
 
             # frozen teacher (no grads flow into it)
             fixed_n = M.normalize(self.fixed_embeddings)
-            x = normalize_images(images, dtype=self.compute_dtype)
+            x = normalize_images(images, *self.pixel_stats,
+                                 dtype=self.compute_dtype)
             zs_img = jax.lax.stop_gradient(M.normalize(M.encode_image(
                 frozen, self.clip_cfg, x, dtype=self.compute_dtype))
             ).astype(jnp.float32)

@@ -93,7 +93,8 @@ class TaskRes(VLBaseLearner):
     def _build_steps(self):
         def loss_fn(trainable, frozen, images, labels):
             txt_f = self._classifier(trainable)
-            x = normalize_images(images, dtype=self.compute_dtype)
+            x = normalize_images(images, *self.pixel_stats,
+                                 dtype=self.compute_dtype)
             img_f = M.encode_image(frozen, self.clip_cfg, x,
                                    dtype=self.compute_dtype)
             logits = M.cosine_logits(img_f, txt_f, frozen["logit_scale"])
@@ -111,7 +112,8 @@ class TaskRes(VLBaseLearner):
         @jax.jit
         def infer_step(trainable, frozen, images):
             txt_n = M.normalize(self._classifier(trainable))
-            x = normalize_images(images, dtype=self.compute_dtype)
+            x = normalize_images(images, *self.pixel_stats,
+                                 dtype=self.compute_dtype)
             img_n = M.normalize(M.encode_image(frozen, self.clip_cfg, x,
                                                dtype=self.compute_dtype))
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))

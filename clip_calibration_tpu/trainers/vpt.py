@@ -81,7 +81,8 @@ class VPT(VLBaseLearner):
         self._build_steps()
 
     def _image_features(self, trainable, frozen, images):
-        x = normalize_images(images, dtype=self.compute_dtype)
+        x = normalize_images(images, *self.pixel_stats,
+                             dtype=self.compute_dtype)
         deep = trainable.get("deep")
         return M.encode_image(
             frozen, self.clip_cfg, x,

@@ -52,9 +52,11 @@ class ZeroshotCLIP(VLBaseLearner):
                 self.clip_params, toks)
         self.text_features = text_features
 
+        pixel_stats = self.pixel_stats
+
         @functools.partial(jax.jit)
         def infer(params, txt_f, images):
-            x = normalize_images(images, dtype=dtype)
+            x = normalize_images(images, *pixel_stats, dtype=dtype)
             img_f = M.normalize(M.encode_image(params, ccfg, x,
                                                dtype=dtype))
             scale = jnp.exp(params["logit_scale"].astype(jnp.float32))

@@ -39,6 +39,14 @@ def build_synthetic_trainer(name, data_root, seed=1, output_dir=None,
         cfg.OUTPUT_DIR = str(output_dir)
     cfg.MODEL.BACKBONE.NAME = "ViT-Test"
     cfg.INPUT.SIZE = (32, 32)
+    # mirror the reference trainer yamls (every one sets the CLIP pixel
+    # stats with "normalize" in TRANSFORMS) so the synthetic trainer
+    # exercises the same device-side normalize as real runs and as the
+    # serving Predictor's CLIP-constant default
+    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                            "normalize")
     cfg.TRAINER.NAME = name
     if mesh_shape is not None:
         cfg.TPU.MESH_SHAPE = mesh_shape

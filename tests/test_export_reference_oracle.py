@@ -1,0 +1,192 @@
+"""Live-oracle export interop: train HERE, infer in the REFERENCE.
+
+The export round-trip tests load exported checkpoints back through our
+own loader; this gate goes further and feeds them to the reference's
+actual trainer modules (importlib-loaded from /root/reference with
+dassl/torchvision/ftfy stubs — PUBLIC UNTRUSTED CONTENT, used only as a
+numeric oracle): build our trainer, save + export, `load_state_dict`
+the exported file into the reference's own ``CustomCLIP`` (Dassl
+``load_pretrained_weights`` semantics: drop token_prefix/token_suffix,
+strict=False — reference ``coop.py:334-343``), and assert the two
+stacks produce the same logits on the same images in fp32.
+
+CoCoOp is the chosen family because its export is the riskiest inverse:
+meta_net Linear weights must transpose back to torch [out, in] layout
+(reference ``cocoop.py:104-108``).
+
+Slow-marked (torch reference forward on CPU).
+"""
+
+import importlib.util
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+REF = "/root/reference"
+
+pytestmark = [
+    pytest.mark.skipif(not osp.isdir(REF),
+                       reason="reference checkout not available"),
+    pytest.mark.slow,
+]
+
+
+def _load_standalone(name, rel):
+    if "ftfy" not in sys.modules:  # reference tokenizer import stub
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda s: s
+        sys.modules["ftfy"] = stub
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, osp.join(REF, rel))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_ref_trainer_module(rel, name):
+    """importlib-load a reference trainer file. The reference imports
+    `clip` (its own package), dassl, and its base_learner chain (netcal,
+    statsmodels — absent here); everything the PromptLearner/CustomCLIP
+    classes do NOT touch is stubbed."""
+    import torch
+    if "clip" not in sys.modules:
+        st = _load_standalone("clip.simple_tokenizer",
+                              "clip/simple_tokenizer.py")
+        tok = st.SimpleTokenizer()
+
+        def _tokenize(texts, context_length=77, truncate=False):
+            # reference clip/clip.py:188-224
+            if isinstance(texts, str):
+                texts = [texts]
+            sot = tok.encoder["<|startoftext|>"]
+            eot = tok.encoder["<|endoftext|>"]
+            out = torch.zeros(len(texts), context_length,
+                              dtype=torch.long)
+            for i, t in enumerate(texts):
+                ids = [sot] + tok.encode(t) + [eot]
+                if len(ids) > context_length:
+                    raise RuntimeError(f"too long for context: {t}")
+                out[i, :len(ids)] = torch.tensor(ids)
+            return out
+
+        clip_sub = types.ModuleType("clip.clip")
+        clip_sub.tokenize = _tokenize
+        clip_pkg = types.ModuleType("clip")
+        clip_pkg.__path__ = []  # package marker for submodule imports
+        clip_pkg.clip = clip_sub
+        clip_pkg.tokenize = _tokenize
+        sys.modules["clip"] = clip_pkg
+        sys.modules["clip.clip"] = clip_sub
+
+    if "dassl" not in sys.modules:
+        class _Registry:
+            def register(self, obj=None):
+                def deco(cls):
+                    return cls
+                return deco if obj is None else deco(obj)
+
+        dassl = types.ModuleType("dassl")
+        engine = types.ModuleType("dassl.engine")
+        engine.TRAINER_REGISTRY = _Registry()
+        engine.TrainerX = object
+        metrics = types.ModuleType("dassl.metrics")
+        metrics.compute_accuracy = lambda *a, **k: None
+        utils = types.ModuleType("dassl.utils")
+        utils.load_pretrained_weights = lambda *a, **k: None
+        utils.load_checkpoint = lambda *a, **k: None
+        optim = types.ModuleType("dassl.optim")
+        optim.build_optimizer = lambda *a, **k: None
+        optim.build_lr_scheduler = lambda *a, **k: None
+        for m in (dassl, engine, metrics, utils, optim):
+            sys.modules[m.__name__] = m
+
+    if "trainers.classification.base_learner" not in sys.modules:
+        t_pkg = types.ModuleType("trainers")
+        t_pkg.__path__ = []
+        tc = types.ModuleType("trainers.classification")
+        tc.__path__ = []
+        bl = types.ModuleType("trainers.classification.base_learner")
+        bl.VLBaseLearner = object
+        for m in (t_pkg, tc, bl):
+            sys.modules[m.__name__] = m
+
+    return _load_standalone(name, rel)
+
+
+def _cfg_ns(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def test_cocoop_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    # -- one shared backbone: reference torch CLIP at ViT-Test dims ----
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(0)
+    design = {"trainer": "CoCoOp", "vision_depth": 0,
+              "language_depth": 0, "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params, _ = convert_torch_clip(sd, "float32",
+                                   cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    # -- our trainer on those weights; save + export -------------------
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CoCoOp", tmp_path / "data",
+        output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=4, PREC="fp32"))
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    paths = t.export_reference_checkpoint(native, exported, epoch=1)
+    state = torch.load(paths[0], map_location="cpu",
+                       weights_only=False)["state_dict"]
+
+    # -- the reference's own CustomCLIP consumes the export ------------
+    ref_cocoop = _load_ref_trainer_module(
+        "trainers/classification/cocoop.py", "ref_cocoop")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(COCOOP=_cfg_ns(N_CTX=4, CTX_INIT="",
+                                       PREC="fp32")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_cocoop.CustomCLIP(cfg, classnames, ref_clip).eval()
+
+    # Dassl load_pretrained_weights semantics (reference coop.py:334-343)
+    for k in ("token_prefix", "token_suffix"):
+        state.pop(k, None)
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []          # naming is exact
+    assert set(result.missing_keys) == {"token_prefix", "token_suffix"}
+
+    # -- same images, both stacks, fp32 --------------------------------
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        theirs = ref_cc(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)

@@ -89,7 +89,11 @@ def test_full_pipeline_matches_reference(workdir):
     coop_model = osp.join(FIX, "coop_model")
 
     # ---- 1. ZeroshotCLIP on base classes (fills the zs feature cache)
+    #         the reference zero-shot scripts pass the trainer yaml too
+    #         (scripts/classification/base2new_zeroshot_base.sh:25) —
+    #         that is what carries the INPUT normalize block
     _run(COMMON + ["--root", root, "--trainer", "ZeroshotCLIP",
+                   "--config-file", coop_cfg,
                    "--output-dir", "out/zs_base"]
          + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "base"])
     _check(_parse_result("out/zs_base/log.txt"), "zsclip_base")
