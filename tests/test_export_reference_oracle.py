@@ -190,3 +190,96 @@ def test_cocoop_export_runs_in_reference_stack(tmp_path, monkeypatch):
             x.transpose(0, 3, 1, 2)))[0].numpy()
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_maple_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """MaPLe through the reference's own modules: deep compound prompts
+    spliced in BOTH towers, plus the proj / compound_prompt_projections
+    Linear transposes (reference ``maple.py:111,126-127``).
+
+    The reference hardcodes the proj target to 768 (vision width) and
+    the compound text prompts to 512 (text width) — so the oracle runs
+    at those widths with shallow 2-layer towers (32px, patch 16) to
+    stay fast. The reference CustomCLIP is ``.float()``-ed because its
+    ``proj.half()`` (``maple.py:112``) otherwise leaves a lone fp16
+    Linear inside an fp32 model.
+    """
+    import torch
+
+    from clip_calibration_tpu.models.clip import PRESETS
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(1)
+    design = {"trainer": "MaPLe", "vision_depth": 0,
+              "language_depth": 0, "vision_ctx": 0, "language_ctx": 0,
+              "maple_length": 2}
+    ref_clip = ref_model_mod.CLIP(64, 32, 2, 768, 16, 77, 49408,
+                                  512, 8, 2,
+                                  design_details=design).float().eval()
+
+    # ship the torch state dict through the .pt conversion path (the
+    # oracle dims are not a registered preset, so the npz route —
+    # which trusts PRESETS — cannot carry them; the .pt route infers
+    # the config from the tensors, models/backbone.py:60-64)
+    assert "ViT-Test" in PRESETS
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    torch.save(ref_clip.state_dict(), str(wdir / "ViT-Test.pt"))
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "MaPLe", tmp_path / "data",
+        output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=2, PROMPT_DEPTH=2, PREC="fp32",
+                         CTX_INIT="a photo of a"))
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    paths = t.export_reference_checkpoint(native, exported, epoch=1)
+    state = torch.load(paths[0], map_location="cpu",
+                       weights_only=False)["state_dict"]
+
+    # maple.py does `from .coop import load_clip_to_cpu` — load it
+    # under its real dotted name with the reference coop pre-loaded so
+    # the relative import resolves
+    _load_ref_trainer_module("trainers/classification/coop.py",
+                             "trainers.classification.coop")
+    ref_maple = _load_ref_trainer_module(
+        "trainers/classification/maple.py",
+        "trainers.classification.maple")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(MAPLE=_cfg_ns(N_CTX=2, CTX_INIT="a photo of a",
+                                      PROMPT_DEPTH=2)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_maple.CustomCLIP(cfg, classnames,
+                                  ref_clip).float().eval()
+
+    # reference MaPLe registers the WHOLE model; Dassl
+    # load_pretrained_weights drops token_prefix/token_suffix
+    for k in ("prompt_learner.token_prefix",
+              "prompt_learner.token_suffix"):
+        state.pop(k, None)
+    assert {"prompt_learner.ctx", "prompt_learner.proj.weight",
+            "prompt_learner.proj.bias",
+            "prompt_learner.compound_prompts_text.0",
+            "prompt_learner.compound_prompt_projections.0.weight",
+            "prompt_learner.compound_prompt_projections.0.bias"
+            } <= set(state)
+    result = ref_cc.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []          # naming is exact
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        theirs = ref_cc(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
