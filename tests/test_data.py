@@ -335,3 +335,30 @@ def test_unknown_transform_raises(tmp_path):
     cfg.INPUT.TRANSFORMS = ("random_crop", "normalize")
     with pytest.raises(ValueError, match="Unsupported INPUT.TRANSFORMS"):
         build_transform(cfg, is_train=True)
+
+
+def test_pixel_stats_honor_transforms_flag():
+    """Device-side normalize follows the Dassl contract: PIXEL_MEAN/STD
+    apply only when "normalize" is listed in INPUT.TRANSFORMS (reference
+    Dassl build_transform); otherwise the pipeline is ToTensor-only."""
+    import numpy as np
+    import jax.numpy as jnp
+    from clip_calibration_tpu.ops.preprocess import (
+        normalize_images, pixel_stats_from_cfg)
+
+    cfg = get_cfg_default()
+    assert pixel_stats_from_cfg(cfg) == (None, None)  # default: no-op
+
+    cfg.INPUT.TRANSFORMS = ("random_flip", "normalize")
+    cfg.INPUT.PIXEL_MEAN = [0.5, 0.5, 0.5]
+    cfg.INPUT.PIXEL_STD = [0.25, 0.25, 0.25]
+    mean, std = pixel_stats_from_cfg(cfg)
+    assert mean == (0.5, 0.5, 0.5) and std == (0.25, 0.25, 0.25)
+
+    img = np.full((1, 2, 2, 3), 255, np.uint8)
+    plain = np.asarray(normalize_images(jnp.asarray(img), None, None,
+                                        dtype=jnp.float32))
+    np.testing.assert_allclose(plain, 1.0)  # /255 only
+    normed = np.asarray(normalize_images(jnp.asarray(img), mean, std,
+                                         dtype=jnp.float32))
+    np.testing.assert_allclose(normed, (1.0 - 0.5) / 0.25)
