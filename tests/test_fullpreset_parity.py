@@ -121,3 +121,60 @@ def test_full_preset_fp32_parity(preset):
                         params["logit_scale"]))
     np.testing.assert_allclose(my_logits, ref_logits, rtol=2e-4,
                                atol=2e-3)
+
+
+def test_full_preset_ivlp_injection_parity(monkeypatch):
+    """Deep prompt injection at the production preset: the toy-scale
+    IVLP goldens (test_prompt_injection_parity.py) leave the
+    injection x full-dims cross uncovered — this instantiates the
+    reference CLIP at ViT-B/16 dims with the IVLP design
+    (``clip/model.py:191-256``: per-layer VPT_shallow replacing the
+    previous layer's prompt tokens, vision trailing / text [1, 1+n_ctx))
+    and checks both encoders against our uniform splice interface in
+    fp32. The reference hardcodes ``.half()`` on the spliced contexts
+    (``clip/model.py:240,407``) — its fp16 policy, neutralized here for
+    the fp32 comparison (same treatment the toy fixtures used)."""
+    import torch
+    monkeypatch.setattr(torch.Tensor, "half", lambda self: self)
+
+    mod = _ref_model_module()
+    torch.manual_seed(3)
+    design = {"trainer": "IVLP", "vision_depth": 3, "language_depth": 3,
+              "vision_ctx": 2, "language_ctx": 2}
+    ref = mod.CLIP(*FULL_PRESETS["ViT-B/16"], design).float().eval()
+
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    toks = _tokens(rng, 3)
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(toks)).numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    backbone_sd = {k: v for k, v in sd.items() if "VPT" not in k}
+    cfg = dataclasses.replace(config_from_torch_state_dict(backbone_sd),
+                              transformer_heads=8)
+    params, cfg = convert_torch_clip(backbone_sd, "float32", cfg=cfg)
+
+    shallow = jnp.asarray(sd["visual.VPT"])
+    deep_v = jnp.stack([
+        jnp.asarray(sd[f"visual.transformer.resblocks.{i}.VPT_shallow"])
+        for i in (1, 2)])
+    img_f = M.encode_image(params, cfg, jnp.asarray(imgs),
+                           shallow_prompts=shallow, deep_prompts=deep_v,
+                           deep_prompt_depth=3, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(img_f), ref_img, rtol=2e-4,
+                               atol=2e-4)
+
+    deep_t = jnp.stack([
+        jnp.asarray(sd[f"transformer.resblocks.{i}.VPT_shallow"])
+        for i in (1, 2)])
+    x = M.embed_tokens(params, jnp.asarray(toks), jnp.float32)
+    txt_f = M.encode_text_embedded(params, cfg, x,
+                                   jnp.argmax(jnp.asarray(toks), -1),
+                                   deep_prompts=deep_t,
+                                   deep_prompt_depth=3)
+    np.testing.assert_allclose(np.asarray(txt_f), ref_txt, rtol=2e-4,
+                               atol=2e-4)
