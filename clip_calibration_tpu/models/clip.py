@@ -84,8 +84,11 @@ PRESETS: Dict[str, CLIPConfig] = {
     "ViT-L/14": CLIPConfig(768, 224, 24, 1024, 14, 768, 12, 12),
     "RN50": CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 512, 8, 12),
     "RN101": CLIPConfig(512, 224, (3, 4, 23, 3), 64, None, 512, 8, 12),
-    # tiny backbone for fast integration tests / demos (no public weights)
+    # tiny backbones for fast integration tests / demos (no public weights)
     "ViT-Test": CLIPConfig(32, 32, 2, 64, 8, 64, 4, 2),
+    # ModifiedResNet tower at (1,1,1,1) depth: stem /4 then 3 strided
+    # stages -> 1x1 attention-pool grid at 32px input
+    "RN-Test": CLIPConfig(32, 32, (1, 1, 1, 1), 8, None, 64, 4, 2),
 }
 
 

@@ -79,3 +79,25 @@ def test_trainer_smoke(workdir, trainer):
     assert all(l == l and l != float("inf") for l in losses)  # finite
     acc = float(re.search(r"\* accuracy: (\d+\.\d+)%", log).group(1))
     assert 0.0 <= acc <= 100.0
+
+
+def test_trainer_smoke_resnet_backbone(workdir):
+    """CoOp end-to-end on the ModifiedResNet tower (RN-Test): the
+    reference ships rn50 yamls for every trainer; this exercises the
+    trainer+ResNet integration (attention-pool image features through
+    the full CLI + calibration pipeline) that the ViT-Test matrix
+    cannot. Needs its own zero-shot base run — feature caches are
+    keyed by backbone."""
+    rn_base = [a if a != "ViT-Test" else "RN-Test" for a in BASE]
+    _run(["--root", osp.join(workdir, "data"), "--trainer",
+          "ZeroshotCLIP", "--output-dir", "output/zs_rn/seed1"]
+         + rn_base + OPTS)
+    _run(["--root", osp.join(workdir, "data"), "--trainer", "CoOp",
+          "--output-dir", "output/CoOp_rn/seed1"] + rn_base + OPTS
+         + ["TRAINER.COOP.N_CTX", "4"])
+    log = open("output/CoOp_rn/seed1/log.txt").read()
+    assert "=> result" in log
+    losses = [float(m) for m in re.findall(r"loss (\d+\.\d+) \(", log)]
+    assert losses and all(l == l and l != float("inf") for l in losses)
+    acc = float(re.search(r"\* accuracy: (\d+\.\d+)%", log).group(1))
+    assert 0.0 <= acc <= 100.0
