@@ -95,3 +95,47 @@ def test_fix_text_four_byte_mojibake():
     assert _fix_text("ðŸš€") == "\U0001f680"
     # correct astral text stays untouched
     assert _fix_text("\U0001f600 ok") == "\U0001f600 ok"
+
+
+@pytest.mark.skipif(not osp.isdir("/root/reference"),
+                    reason="reference checkout not available")
+def test_live_differential_fuzz_vs_reference():
+    """Randomized differential against the reference's own BPE
+    (importlib-loaded ``clip/simple_tokenizer.py`` with an identity
+    ftfy stub): the golden fixtures pin a fixed corpus; this sweeps
+    random word soups, repeated/merged subwords, digits, punctuation
+    and non-Latin scripts. Inputs are NFC-clean (real ftfy is identity
+    on them, so the stub does not diverge)."""
+    import importlib.util
+    import random
+    import sys
+    import types
+
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda s: s
+        sys.modules["ftfy"] = stub
+    name = "ref_simple_tokenizer"
+    if name in sys.modules:
+        mod = sys.modules[name]
+    else:
+        spec = importlib.util.spec_from_file_location(
+            name, "/root/reference/clip/simple_tokenizer.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    ref = mod.SimpleTokenizer()
+    ours = CLIPTokenizer()
+
+    words = ["a", "photo", "of", "the", "satellite", "aircraft",
+             "X", "dog.", "person's", "e-mail", "1234", "!!!",
+             "Straße", "naïve", "京都", "émigré", "ACMECorp",
+             "un-believable", "  spaced  out  ", "CamelCaseWord",
+             "antidisestablishmentarianism", "<|startoftext|>"]
+    rng = random.Random(0)
+    for _ in range(300):
+        text = " ".join(rng.choices(words, k=rng.randint(1, 12)))
+        assert ours.encode(text) == ref.encode(text), repr(text)
+    # decode parity on the same stream
+    ids = ours.encode("a photo of a naïve dog's Straße 1234.")
+    assert ours.decode(ids) == ref.decode(ids)
