@@ -96,3 +96,23 @@ def test_bin_calibrator_via_cli(workdir):
     ] + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "new"])
     assert osp.exists(
         "output/test_new_bin/seed1/log_multi_isotonic_regression.txt")
+
+
+def test_procal_via_cli(workdir):
+    """ProCal (DensityRatioCalibration) through the real CLI: mode
+    scaling_based + IF_PROCAL fits the 2-D (confidence x proximity) KDE
+    on the cached base-val dict and rescales test probs (reference
+    vl_calibrator.py:112-121); log name gains the _procal suffix
+    (reference train.py:308-325)."""
+    _run_train(COMMON + [
+        "--root", osp.join(workdir, "data"),
+        "--output-dir", "output/test_new_procal/seed1",
+        "--calibration-config", json.dumps({
+            "BASE_CALIBRATION_MODE": "scaling_based",
+            "SCALING_CONFIG": None, "BIN_CALIBRATOR_NAME": None,
+            "IF_DAC": False, "IF_PROCAL": True}),
+    ] + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "new"])
+    assert osp.exists("output/test_new_procal/seed1/log_procal.txt")
+    log = open("output/test_new_procal/seed1/log_procal.txt").read()
+    assert "=> result" in log
+    assert re.search(r"\* ece: \d+\.\d+%", log)
