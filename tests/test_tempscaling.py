@@ -80,6 +80,22 @@ def test_scaling_pipeline(tmp_path):
         assert "=> result" in log
         m = re.search(r"\* ece: (\d+\.\d+)%", log)
         assert m, "ece missing from scaling eval log"
+
+        # 5. the paper's headline combo: TempScaling + DAC on new
+        #    classes (reference run/calibration/fewshot_scaling.sh
+        #    CALIBRATION=TempScaling_dac -> log_TempScaling_dac.txt)
+        dac_json = json.loads(SCALING_JSON)
+        dac_json["IF_DAC"] = True
+        _run(["--root", root, "--trainer", "CoOp",
+              "--output-dir", "output/test_new/seed1",
+              "--base-dir", "output/train_base/seed1",
+              "--model-dir", "output/train_base/seed1",
+              "--eval-only",
+              "--calibration-config", json.dumps(dac_json)] + DATA_OPTS +
+             SHARED + ["DATASET.SUBSAMPLE_CLASSES", "new"])
+        log = open("output/test_new/seed1/log_TempScaling_dac.txt").read()
+        assert "=> result" in log
+        assert re.search(r"\* ece: (\d+\.\d+)%", log)
     finally:
         os.chdir(old)
         sys.stdout = sys.__stdout__
