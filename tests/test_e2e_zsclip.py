@@ -116,3 +116,23 @@ def test_procal_via_cli(workdir):
     log = open("output/test_new_procal/seed1/log_procal.txt").read()
     assert "=> result" in log
     assert re.search(r"\* ece: \d+\.\d+%", log)
+
+
+def test_bin_meanshift_procal_via_cli(workdir):
+    """bin_based + IF_PROCAL composes BinMeanShift around the bin
+    calibrator (reference vl_calibrator.py:121-134): proximity-binned
+    per-bin histogram binning, fit on the cached base-val dict."""
+    _run_train(COMMON + [
+        "--root", osp.join(workdir, "data"),
+        "--output-dir", "output/test_new_bms/seed1",
+        "--calibration-config", json.dumps({
+            "BASE_CALIBRATION_MODE": "bin_based", "SCALING_CONFIG": None,
+            "BIN_CALIBRATOR_NAME": "histogram_binning",
+            "IF_DAC": False, "IF_PROCAL": True}),
+    ] + OPTS + ["DATASET.SUBSAMPLE_CLASSES", "new"])
+    logs = [f for f in os.listdir("output/test_new_bms/seed1")
+            if f.startswith("log")]
+    assert logs, "no log written"
+    log = open(osp.join("output/test_new_bms/seed1", logs[0])).read()
+    assert "=> result" in log
+    assert re.search(r"\* ece: \d+\.\d+%", log)
