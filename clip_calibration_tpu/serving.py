@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from .models import clip as M
 from .models.backbone import load_clip_backbone
 from .models.tokenizer import tokenize
-from .ops.preprocess import normalize_images
+from .ops.preprocess import (CLIP_PIXEL_MEAN, CLIP_PIXEL_STD,
+                             normalize_images)
 from .ops.scoring import fused_dac_scores
 
 # Max in-flight chunks per predict() call: enough to overlap transfers
@@ -78,6 +79,7 @@ class Predictor:
                  class_confidence: Optional[np.ndarray] = None,
                  temperature: Optional[float] = None,
                  mesh=None,
+                 pixel_stats=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD),
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
@@ -119,9 +121,14 @@ class Predictor:
 
         dtype = self.dtype
         cfg = self.cfg
+        # checkpoints carry no pixel stats, so serving cannot recover
+        # how a model was trained — the default is the CLIP constants
+        # every reference yaml uses; pass pixel_stats=(None, None) for
+        # a model trained ToTensor-only, or the custom (mean, std)
+        mean, std = pixel_stats
 
         def encode(params, images):
-            x = normalize_images(images, dtype=dtype)
+            x = normalize_images(images, mean, std, dtype=dtype)
             return M.normalize(M.encode_image(params, cfg, x,
                                               dtype=dtype))
 
@@ -297,18 +304,21 @@ def build_serving_trainer(classnames: Sequence[str],
 
     if cfg is None:
         cfg = get_cfg_default()
-        # serving default = the reference trainer yamls' normalize
-        # block (CLIP pixel stats; every shipped config sets exactly
-        # this) — the bare Dassl default of ToTensor-only would make a
-        # checkpoint served without its config_file normalize
-        # differently than it trained; Predictor uses the same
-        # constants (ops/preprocess.CLIP_PIXEL_MEAN/STD)
-        cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
-        cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
-        cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
-                                "normalize")
         if config_file:
+            # the given config reproduces the training run verbatim —
+            # including whether it normalized at all
             cfg.merge_from_file(config_file)
+        else:
+            # serving default = the reference trainer yamls' normalize
+            # block (CLIP pixel stats; every shipped config sets
+            # exactly this) — the bare Dassl default of ToTensor-only
+            # would make a checkpoint served without its config_file
+            # normalize differently than it trained; Predictor uses
+            # the same constants
+            cfg.INPUT.PIXEL_MEAN = list(CLIP_PIXEL_MEAN)
+            cfg.INPUT.PIXEL_STD = list(CLIP_PIXEL_STD)
+            cfg.INPUT.TRANSFORMS = ("random_resized_crop",
+                                    "random_flip", "normalize")
         if trainer_name:
             cfg.TRAINER.NAME = trainer_name
         if backbone:

@@ -43,8 +43,10 @@ def build_synthetic_trainer(name, data_root, seed=1, output_dir=None,
     # stats with "normalize" in TRANSFORMS) so the synthetic trainer
     # exercises the same device-side normalize as real runs and as the
     # serving Predictor's CLIP-constant default
-    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
-    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+    from clip_calibration_tpu.ops.preprocess import (CLIP_PIXEL_MEAN,
+                                                     CLIP_PIXEL_STD)
+    cfg.INPUT.PIXEL_MEAN = list(CLIP_PIXEL_MEAN)
+    cfg.INPUT.PIXEL_STD = list(CLIP_PIXEL_STD)
     cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
                             "normalize")
     cfg.TRAINER.NAME = name

@@ -371,3 +371,43 @@ def test_serving_build_does_not_leak_into_other_threads(tmp_path):
         th.join()
     assert seen["cls"] is real                 # other thread: unwrapped
     assert TRAINER_REGISTRY.get("CoOp") is real  # restored after exit
+
+
+def test_serving_config_file_controls_normalize(tmp_path):
+    """A config_file reproduces the training run verbatim — including
+    NOT normalizing: the serving default normalize block must only
+    apply when no config_file is given (else a yaml without an INPUT
+    section would serve normalized while training was ToTensor-only)."""
+    from clip_calibration_tpu.serving import build_serving_trainer
+
+    bare = tmp_path / "bare.yaml"
+    bare.write_text("TRAINER:\n  COOP:\n    N_CTX: 2\n")
+    t = build_serving_trainer(["a", "b"], trainer_name="CoOp",
+                              backbone="ViT-Test",
+                              config_file=str(bare),
+                              opts=["INPUT.SIZE", "(32, 32)"])
+    assert t.pixel_stats == (None, None)
+
+    t_default = build_serving_trainer(["a", "b"], trainer_name="CoOp",
+                                      backbone="ViT-Test",
+                                      opts=["INPUT.SIZE", "(32, 32)"])
+    mean, _ = t_default.pixel_stats
+    assert mean is not None  # CLIP constants
+
+
+def test_predictor_pixel_stats_knob():
+    """Predictor(pixel_stats=(None, None)) serves a ToTensor-only
+    model: probs must differ from the CLIP-normalized default on the
+    same images."""
+    from clip_calibration_tpu.serving import Predictor
+
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    names = ["a", "b", "c"]
+    p_norm = Predictor("ViT-Test", names, precision="fp32",
+                       batch_size=4)
+    p_raw = Predictor("ViT-Test", names, precision="fp32",
+                      batch_size=4, pixel_stats=(None, None))
+    probs_n = p_norm.predict(imgs)["probs"]
+    probs_r = p_raw.predict(imgs)["probs"]
+    assert not np.allclose(probs_n, probs_r)
