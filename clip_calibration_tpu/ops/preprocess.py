@@ -33,6 +33,49 @@ def normalize_images(images: jnp.ndarray,
     return ((x - mean) / std).astype(dtype)
 
 
+def device_preprocess(images: jnp.ndarray, size: int,
+                      mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
+                      dtype=jnp.bfloat16,
+                      method: str = "bicubic") -> jnp.ndarray:
+    """Full test-time preprocessing as jax ops (BASELINE.json north
+    star): uint8 [B, H, W, 3] at any uniform source size -> normalized
+    [B, size, size, 3] compute-dtype, fused by XLA into the encode.
+
+    Mirrors the host test pipeline (``data/transforms.py``: torchvision
+    shorter-side resize with int-truncated long side, then center crop
+    — the geometry of ``clip/clip.py:74-81``), with ``jax.image.resize``
+    (antialiased Keys cubic) standing in for PIL's resampler; the two
+    interpolators differ by ~1/255 per pixel on natural images. Source
+    H/W are static under jit: each distinct input resolution compiles
+    once (serve uniform-size batches).
+    """
+    import jax
+
+    b, h, w, c = images.shape
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    if (h, w) != (size, size):
+        # shorter side -> size, long side int-truncated
+        # (data/transforms._resize_shorter)
+        if w <= h:
+            nw, nh = size, max(1, int(h * size / w))
+        else:
+            nw, nh = max(1, int(w * size / h)), size
+        x = jax.image.resize(x, (b, nh, nw, c), method=method,
+                             antialias=True)
+        # center crop (data/transforms._center_crop)
+        left = int(round((nw - size) / 2.0))
+        top = int(round((nh - size) / 2.0))
+        x = x[:, top:top + size, left:left + size, :]
+        x = jnp.clip(x, 0.0, 1.0)  # cubic overshoot
+    if mean is None:
+        return x.astype(dtype)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
 def pixel_stats_from_cfg(cfg):
     """(mean, std) for the device-side normalize, honoring the Dassl
     contract: ``Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)``

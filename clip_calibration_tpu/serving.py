@@ -32,7 +32,7 @@ from .models import clip as M
 from .models.backbone import load_clip_backbone
 from .models.tokenizer import tokenize
 from .ops.preprocess import (CLIP_PIXEL_MEAN, CLIP_PIXEL_STD,
-                             normalize_images)
+                             device_preprocess, normalize_images)
 from .ops.scoring import fused_dac_scores
 
 # Max in-flight chunks per predict() call: enough to overlap transfers
@@ -80,9 +80,11 @@ class Predictor:
                  temperature: Optional[float] = None,
                  mesh=None,
                  pixel_stats=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD),
+                 preprocess_on_device: bool = False,
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
+        self.preprocess_on_device = bool(preprocess_on_device)
         self.mesh = mesh
         if mesh is not None:
             n_data = mesh.shape["data"]
@@ -128,7 +130,15 @@ class Predictor:
         mean, std = pixel_stats
 
         def encode(params, images):
-            x = normalize_images(images, mean, std, dtype=dtype)
+            if images.shape[1:3] != (cfg.image_resolution,
+                                     cfg.image_resolution):
+                # resize + center-crop + normalize as jax ops, fused
+                # into the encode program (BASELINE.json north star);
+                # reached only with preprocess_on_device
+                x = device_preprocess(images, cfg.image_resolution,
+                                      mean, std, dtype=dtype)
+            else:
+                x = normalize_images(images, mean, std, dtype=dtype)
             return M.normalize(M.encode_image(params, cfg, x,
                                               dtype=dtype))
 
@@ -205,7 +215,10 @@ class Predictor:
 
     # -- inference ------------------------------------------------------------
     def predict(self, images: np.ndarray) -> dict:
-        """images: uint8 [N, H, W, 3] at the model resolution.
+        """images: uint8 [N, H, W, 3] at the model resolution — or, with
+        ``preprocess_on_device``, at any uniform source size (resize +
+        center-crop run on device; one compile per distinct source
+        resolution).
 
         Returns dict(probs [N, C] fp32, preds [N], confidences [N]).
         """
@@ -219,12 +232,14 @@ class Predictor:
             raise ValueError("Predictor.predict expects uint8 images; "
                              "apply host-side geometry first")
         res = self.cfg.image_resolution
-        if images.ndim != 4 or images.shape[1:3] != (res, res) or \
-                images.shape[-1] != 3:
+        if images.ndim != 4 or images.shape[-1] != 3 or (
+                not self.preprocess_on_device
+                and images.shape[1:3] != (res, res)):
             raise ValueError(
                 f"expected [N, {res}, {res}, 3] images; got "
                 f"{images.shape} — resize host-side "
-                f"(data/transforms.build_transform)")
+                f"(data/transforms.build_transform) or construct with "
+                f"preprocess_on_device=True")
         n = images.shape[0]
         scale = self.params["logit_scale"]
         if self.temperature is not None:

@@ -411,3 +411,51 @@ def test_predictor_pixel_stats_knob():
     probs_n = p_norm.predict(imgs)["probs"]
     probs_r = p_raw.predict(imgs)["probs"]
     assert not np.allclose(probs_n, probs_r)
+
+
+def test_predictor_device_preprocess_crop_parity():
+    """preprocess_on_device with a source whose shorter side already
+    equals the model resolution: the resize is identity, so the device
+    center-crop must match host-side cropping exactly."""
+    from clip_calibration_tpu.serving import Predictor
+
+    rng = np.random.default_rng(11)
+    wide = (rng.random((4, 32, 64, 3)) * 255).astype(np.uint8)
+    left = int(round((64 - 32) / 2.0))  # data/transforms._center_crop
+    cropped = wide[:, :, left:left + 32, :]
+
+    names = ["a", "b", "c"]
+    p_dev = Predictor("ViT-Test", names, precision="fp32",
+                      batch_size=4, preprocess_on_device=True)
+    p_host = Predictor("ViT-Test", names, precision="fp32",
+                       batch_size=4)
+    out_dev = p_dev.predict(wide)
+    out_host = p_host.predict(cropped)
+    np.testing.assert_allclose(out_dev["probs"], out_host["probs"],
+                               rtol=1e-5, atol=1e-6)
+    # model-res inputs keep working on the same predictor (second
+    # program, same weights)
+    out_same = p_dev.predict(cropped)
+    np.testing.assert_allclose(out_same["probs"], out_host["probs"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_device_preprocess_resize_matches_pil():
+    """Device bicubic downscale tracks PIL's resampler on smooth
+    images (the interpolators differ slightly at edges; ~1/255 on
+    low-frequency content)."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from clip_calibration_tpu.ops.preprocess import device_preprocess
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    smooth = (127 + 60 * np.sin(xx / 11.0) * np.cos(yy / 13.0))
+    img = np.repeat(smooth[..., None], 3, axis=2).astype(np.uint8)
+
+    ours = np.asarray(device_preprocess(
+        jnp.asarray(img[None]), 32, mean=None, dtype=jnp.float32))[0]
+    pil = np.asarray(Image.fromarray(img).resize(
+        (32, 32), Image.BICUBIC), np.float32) / 255.0
+    assert np.abs(ours - pil).max() < 0.02
