@@ -123,7 +123,11 @@ def _conv_init(rng, k, cin, cout, dtype):
 def init_modified_resnet(rng, cfg, dtype=jnp.bfloat16) -> Params:
     width = cfg.vision_width
     layers = cfg.vision_layers
-    ks = list(jax.random.split(rng, 64))
+    # 3 stem convs + per block 3 convs (+1 possible downsample) + 5
+    # attnpool leaves; RN101's depth-23 layer3 needs far more than a
+    # fixed pool (a 64-key pool crashed its init)
+    n_keys = 3 + 4 * sum(layers) + 5
+    ks = list(jax.random.split(rng, n_keys))
 
     def nk():
         return ks.pop()

@@ -207,6 +207,24 @@ def test_rn50_preset_init_runs():
     assert out.shape == (1, 1024)
 
 
+def test_deep_resnet_init_runs():
+    """Regression: init's RNG key pool must size to the block count —
+    a fixed 64-key pool crashed RN101's depth-23 layer3
+    (33 blocks x up-to-4 convs). Tiny width keeps it fast; the layer
+    depths are RN101's exact (3, 4, 23, 3)."""
+    from clip_calibration_tpu.models.resnet import (
+        init_modified_resnet, modified_resnet_forward)
+    cfg = M.CLIPConfig(embed_dim=16, image_resolution=32,
+                       vision_layers=(3, 4, 23, 3), vision_width=8,
+                       vision_patch_size=None, transformer_width=64,
+                       transformer_heads=2, transformer_layers=2)
+    visual = init_modified_resnet(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    out = modified_resnet_forward(visual, cfg, x)
+    assert out.shape == (1, 16)
+
+
 def test_remat_text_encode_matches_plain_gradients():
     """remat=True must change memory behavior only: outputs and
     gradients (w.r.t. the prompt embeddings) identical to the plain

@@ -2,7 +2,9 @@
 
 The randomized-architecture differentials (test_runtime_model_parity.py)
 cover toy dims; this gate runs the EXACT configurations every real run
-uses — ViT-B/16 and RN50 at 224 resolution / 77 context (reference
+uses — the full zoo (ViT-B/16, ViT-B/32, ViT-L/14, RN50, RN101,
+``/root/reference/clip/clip.py:30-39``) at 224 resolution / 77 context
+(reference
 ``clip/model.py:394-424`` encode_image, ``:598-613`` encode_text) — by
 instantiating the reference's own CLIP at the full preset with seeded
 random weights, converting the state dict, and checking both encoders
@@ -42,7 +44,10 @@ VANILLA = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
 # vocab_size, transformer_width, transformer_heads, transformer_layers)
 FULL_PRESETS = {
     "ViT-B/16": (512, 224, 12, 768, 16, 77, 49408, 512, 8, 12),
+    "ViT-B/32": (512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
+    "ViT-L/14": (768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12),
     "RN50": (1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12),
+    "RN101": (512, 224, (3, 4, 23, 3), 64, None, 77, 49408, 512, 8, 12),
 }
 
 
