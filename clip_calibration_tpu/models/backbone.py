@@ -22,8 +22,15 @@ from .clip import PRESETS, CLIPConfig, init_clip
 from .weights import load_params, load_torch_clip
 
 
-def _safe_name(backbone_name: str) -> str:
-    return backbone_name.replace("/", "-")
+def _candidate_names(backbone_name: str):
+    """Filesystem spellings for a zoo name: ``ViT-B/16`` -> ``ViT-B-16``;
+    ``ViT-L/14@336px`` additionally matches OpenAI's published filename
+    ``ViT-L-14-336px`` (reference ``clip/clip.py:38`` URL basename)."""
+    safe = backbone_name.replace("/", "-")
+    names = [safe]
+    if "@" in safe:
+        names.append(safe.replace("@", "-"))
+    return names
 
 
 def _search_dirs():
@@ -49,18 +56,18 @@ def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
             f"Unknown backbone {backbone_name!r}; known: "
             f"{sorted(PRESETS)}")
     cfg = PRESETS[backbone_name]
-    fname = _safe_name(backbone_name)
 
     for d in _search_dirs():
-        npz = osp.join(d, fname + ".npz")
-        if osp.exists(npz):
-            print(f"Loading CLIP weights from {npz}")
-            return load_params(npz), cfg
-        pt = osp.join(d, fname + ".pt")
-        if osp.exists(pt):
-            print(f"Converting CLIP torch weights from {pt}")
-            params, inferred = load_torch_clip(pt, dtype_str)
-            return params, inferred
+        for fname in _candidate_names(backbone_name):
+            npz = osp.join(d, fname + ".npz")
+            if osp.exists(npz):
+                print(f"Loading CLIP weights from {npz}")
+                return load_params(npz), cfg
+            pt = osp.join(d, fname + ".pt")
+            if osp.exists(pt):
+                print(f"Converting CLIP torch weights from {pt}")
+                params, inferred = load_torch_clip(pt, dtype_str)
+                return params, inferred
 
     print(f"WARNING: no pretrained weights found for {backbone_name!r} "
           f"(searched {_search_dirs()}); using seeded random init. "

@@ -82,8 +82,15 @@ PRESETS: Dict[str, CLIPConfig] = {
     "ViT-B/16": CLIPConfig(512, 224, 12, 768, 16, 512, 8, 12),
     "ViT-B/32": CLIPConfig(512, 224, 12, 768, 32, 512, 8, 12),
     "ViT-L/14": CLIPConfig(768, 224, 24, 1024, 14, 768, 12, 12),
+    "ViT-L/14@336px": CLIPConfig(768, 336, 24, 1024, 14, 768, 12, 12),
     "RN50": CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 512, 8, 12),
     "RN101": CLIPConfig(512, 224, (3, 4, 23, 3), 64, None, 512, 8, 12),
+    # EfficientNet-style scaled ResNets (width/resolution scaled jointly,
+    # reference ``clip/clip.py:30-39`` zoo)
+    "RN50x4": CLIPConfig(640, 288, (4, 6, 10, 6), 80, None, 640, 10, 12),
+    "RN50x16": CLIPConfig(768, 384, (6, 8, 18, 8), 96, None, 768, 12, 12),
+    "RN50x64": CLIPConfig(1024, 448, (3, 15, 36, 10), 128, None,
+                          1024, 16, 12),
     # tiny backbones for fast integration tests / demos (no public weights)
     "ViT-Test": CLIPConfig(32, 32, 2, 64, 8, 64, 4, 2),
     # ModifiedResNet tower at (1,1,1,1) depth: stem /4 then 3 strided

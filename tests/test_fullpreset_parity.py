@@ -2,9 +2,9 @@
 
 The randomized-architecture differentials (test_runtime_model_parity.py)
 cover toy dims; this gate runs the EXACT configurations every real run
-uses — the full zoo (ViT-B/16, ViT-B/32, ViT-L/14, RN50, RN101,
-``/root/reference/clip/clip.py:30-39``) at 224 resolution / 77 context
-(reference
+uses — the full zoo (ViT-B/16, ViT-B/32, ViT-L/14, ViT-L/14@336px,
+RN50, RN101, RN50x4/x16/x64, ``/root/reference/clip/clip.py:30-39``)
+at each preset's native resolution / 77 context (reference
 ``clip/model.py:394-424`` encode_image, ``:598-613`` encode_text) — by
 instantiating the reference's own CLIP at the full preset with seeded
 random weights, converting the state dict, and checking both encoders
@@ -46,8 +46,13 @@ FULL_PRESETS = {
     "ViT-B/16": (512, 224, 12, 768, 16, 77, 49408, 512, 8, 12),
     "ViT-B/32": (512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
     "ViT-L/14": (768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12),
+    "ViT-L/14@336px": (768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
     "RN50": (1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12),
     "RN101": (512, 224, (3, 4, 23, 3), 64, None, 77, 49408, 512, 8, 12),
+    "RN50x4": (640, 288, (4, 6, 10, 6), 80, None, 77, 49408, 640, 10, 12),
+    "RN50x16": (768, 384, (6, 8, 18, 8), 96, None, 77, 49408, 768, 12, 12),
+    "RN50x64": (1024, 448, (3, 15, 36, 10), 128, None, 77, 49408,
+                1024, 16, 12),
 }
 
 
@@ -92,7 +97,8 @@ def test_full_preset_fp32_parity(preset):
     ref = mod.CLIP(*args, dict(VANILLA)).float().eval()
 
     rng = np.random.default_rng(16)
-    imgs = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    res = args[1]
+    imgs = rng.normal(0, 1, (2, res, res, 3)).astype(np.float32)
     toks = _tokens(rng, 4)
 
     with torch.no_grad():
