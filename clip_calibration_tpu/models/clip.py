@@ -227,8 +227,15 @@ def transformer(
     deep_prompt_depth: int = 0,
     text_side: bool = False,
     remat: bool = False,
+    tp=None,
 ) -> jnp.ndarray:
     """Scan the stacked residual blocks over x [B, L, D].
+
+    tp: optional ``parallel.tp.TowerTP`` — tensor-parallel execution:
+    attention heads and the MLP hidden feature axis shard over the
+    mesh's model axis (two XLA-inserted psums per layer); see
+    parallel/tp.py. None (default) is the unsharded single-device
+    program.
 
     deep_prompts: [n_layers, n_ctx, D] per-layer prompt tokens. Layer i in
     [1, deep_prompt_depth) splices prompt row i-1 into the sequence before
@@ -278,10 +285,16 @@ def transformer(
         h = h + multi_head_attention(
             layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
             p["attn"]["wqkv"], p["attn"]["bqkv"],
-            p["attn"]["wo"], p["attn"]["bo"], n_heads, mask)
+            p["attn"]["wo"], p["attn"]["bo"], n_heads, mask, tp=tp)
         y = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
-        y = quick_gelu(jnp.dot(y, p["mlp"]["w_fc"].astype(y.dtype))
-                       + p["mlp"]["b_fc"].astype(y.dtype))
+        y = jnp.dot(y, p["mlp"]["w_fc"].astype(y.dtype)) \
+            + p["mlp"]["b_fc"].astype(y.dtype)
+        if tp is not None:
+            # Megatron split: hidden features over the model axis —
+            # w_fc partitions by column with zero comm; the down-
+            # projection contracts the sharded dim (one psum)
+            y = tp.shard_hidden(y)
+        y = quick_gelu(y)
         y = jnp.dot(y, p["mlp"]["w_proj"].astype(y.dtype)) \
             + p["mlp"]["b_proj"].astype(y.dtype)
         return h + y, None
@@ -323,6 +336,7 @@ def encode_text_embedded(
     deep_prompt_depth: int = 0,
     remat: bool = False,
     seq_len: Optional[int] = None,
+    tp=None,
 ) -> jnp.ndarray:
     """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
     path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
@@ -337,8 +351,10 @@ def encode_text_embedded(
       (``clip/model.py:598-613``). Prompt class sets typically pool at
       position ~20-30, so truncation cuts the text tower's work ~2.5x
       exactly. None keeps the full length.
+    tp: optional ``parallel.tp.TowerTP`` (tensor-parallel tower; see
+      ``transformer``).
     """
-    tp = params["text"]
+    txt_p = params["text"]
     if seq_len is not None and seq_len < x.shape[1]:
         # a too-small seq_len would CLAMP the pooling gather (jit
         # out-of-bounds semantics) and silently pool the wrong position;
@@ -351,15 +367,16 @@ def encode_text_embedded(
                     f"seq_len={seq_len} drops an EOT at position {mx}; "
                     f"use eot_seq_len(eot_pos) (= max+1)")
         x = x[:, :seq_len]
-    x = x + tp["positional_embedding"][:x.shape[1]].astype(x.dtype)
+    x = x + txt_p["positional_embedding"][:x.shape[1]].astype(x.dtype)
     mask = causal_mask(x.shape[1])
-    x = transformer(tp["blocks"], x, cfg.transformer_heads, mask,
+    x = transformer(txt_p["blocks"], x, cfg.transformer_heads, mask,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=True,
-                    remat=remat)
-    x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+                    remat=remat, tp=tp)
+    x = layer_norm(x, txt_p["ln_final"]["scale"],
+                   txt_p["ln_final"]["bias"])
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
-    return jnp.dot(pooled, tp["text_projection"].astype(pooled.dtype))
+    return jnp.dot(pooled, txt_p["text_projection"].astype(pooled.dtype))
 
 
 def eot_seq_len(tokens_or_eot) -> int:
@@ -374,8 +391,8 @@ def eot_seq_len(tokens_or_eot) -> int:
 
 
 def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,
-                dtype=jnp.bfloat16, seq_len: Optional[int] = None
-                ) -> jnp.ndarray:
+                dtype=jnp.bfloat16, seq_len: Optional[int] = None,
+                tp=None) -> jnp.ndarray:
     """Raw-token text encode (reference ``clip/model.py:598-613``)."""
     x = embed_tokens(params, tokens, dtype)
     # EOT position from the UNTRUNCATED row (EOT is the max token id);
@@ -383,7 +400,8 @@ def encode_text(params: Params, cfg: CLIPConfig, tokens: jnp.ndarray,
     # guard then rejects a seq_len that would drop a row's EOT instead
     # of silently pooling a clamped position.
     eot_pos = jnp.argmax(tokens, axis=-1)
-    return encode_text_embedded(params, cfg, x, eot_pos, seq_len=seq_len)
+    return encode_text_embedded(params, cfg, x, eot_pos, seq_len=seq_len,
+                                tp=tp)
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -408,14 +426,22 @@ def encode_image(
     deep_prompts: Optional[jnp.ndarray] = None,
     deep_prompt_depth: int = 0,
     dtype=jnp.bfloat16,
+    tp=None,
 ) -> jnp.ndarray:
     """Vision tower. images: [B, H, W, 3] (NHWC, preprocessed).
 
     shallow_prompts: [n_ctx, width] tokens appended after the positional
     embedding (VPT/IVLP/MaPLe shallow path, ``clip/model.py:404-408``).
     deep_prompts: [depth-1, n_ctx, width] per-layer replacements.
+    tp: optional ``parallel.tp.TowerTP`` (tensor-parallel tower; ViT
+    only — the ModifiedResNet tower is data-parallel only, see
+    parallel/tp.py).
     """
     if not cfg.is_vit:
+        if tp is not None:
+            raise ValueError(
+                "Tensor-parallel execution covers the ViT towers only; "
+                "serve ResNet backbones data-parallel (parallel/tp.py)")
         if shallow_prompts is not None or deep_prompts is not None:
             # the reference has no ResNet prompt path either (its
             # ModifiedResNet.forward takes no prompt arguments and MaPLe/
@@ -442,7 +468,8 @@ def encode_image(
     x = layer_norm(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
     x = transformer(vp["blocks"], x, cfg.vision_heads, None,
                     deep_prompts=deep_prompts,
-                    deep_prompt_depth=deep_prompt_depth, text_side=False)
+                    deep_prompt_depth=deep_prompt_depth, text_side=False,
+                    tp=tp)
     x = layer_norm(x[:, 0], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     return jnp.dot(x, vp["proj"].astype(x.dtype))
 

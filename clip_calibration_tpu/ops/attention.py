@@ -88,6 +88,7 @@ def multi_head_attention(
     bo: jnp.ndarray,
     n_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    tp=None,
 ) -> jnp.ndarray:
     """Self-attention over [B, L, D].
 
@@ -99,11 +100,14 @@ def multi_head_attention(
       wo: [D, D] output projection (torch ``out_proj.weight`` transposed).
       bo: [D].
       mask: optional [L, L] additive fp32 mask.
+      tp: optional ``parallel.tp.TowerTP`` — heads shard over the mesh's
+        model axis (GSPMD partitions the einsums; the Pallas kernel is a
+        single-device program, so TP always takes the XLA path).
     """
     B, L, D = x.shape
     head_dim = D // n_heads
     qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)  # [B,L,3D]
-    if _use_pallas() and L % 16 == 0:
+    if tp is None and _use_pallas() and L % 16 == 0:
         # fused head-split/QK^T/softmax/PV directly on the packed qkv —
         # no head transposes, scores never leave VMEM. The tower pads L
         # to a sublane multiple once (models/clip.py::transformer) and
@@ -125,6 +129,12 @@ def multi_head_attention(
             return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if tp is not None:
+            # heads are embarrassingly parallel: score/softmax/PV run
+            # per-device on local heads, zero communication until the
+            # out-projection's contraction (one psum, XLA-inserted)
+            q, k, v = (tp.shard_heads(q), tp.shard_heads(k),
+                       tp.shard_heads(v))
         scale = 1.0 / (head_dim ** 0.5)
         # fp32 accumulation on the MXU for the score matmul
         scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
@@ -134,6 +144,8 @@ def multi_head_attention(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        if tp is not None:
+            out = tp.shard_concat(out)
     return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
 
 

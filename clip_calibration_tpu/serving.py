@@ -70,7 +70,12 @@ class Predictor:
     encode then runs SPMD with the image batch sharded over the axis and
     the weights replicated (XLA inserts the collectives). ``batch_size``
     is rounded up to a multiple of the axis size so every shard gets
-    identical shapes.
+    identical shapes. A mesh with a ``model`` axis > 1 additionally runs
+    the ViT tower TENSOR-parallel (attention heads / MLP hidden sharded
+    over ``model``, two psums per layer — ``parallel/tp.py``): the
+    latency lever the reference's ``nn.DataParallel`` batch split
+    (``coop.py:268-272``) cannot provide. ResNet backbones are
+    data-parallel only (a model axis > 1 raises).
     """
 
     def __init__(self, backbone: str, classnames: Sequence[str],
@@ -129,6 +134,10 @@ class Predictor:
         # a model trained ToTensor-only, or the custom (mean, std)
         mean, std = pixel_stats
 
+        from .parallel.tp import tower_tp
+
+        tp = tower_tp(mesh)
+
         def encode(params, images):
             if images.shape[1:3] != (cfg.image_resolution,
                                      cfg.image_resolution):
@@ -140,7 +149,7 @@ class Predictor:
             else:
                 x = normalize_images(images, mean, std, dtype=dtype)
             return M.normalize(M.encode_image(params, cfg, x,
-                                              dtype=dtype))
+                                              dtype=dtype, tp=tp))
 
         def predict_step(params, text_features, images, scale, conf):
             # encode + calibrated scoring in ONE program: the image

@@ -182,3 +182,118 @@ def test_proda_class_sharded_matches_single_device(tmp_path):
     np.testing.assert_allclose(np.asarray(t_mesh.text_features),
                                np.asarray(t_single.text_features),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel tower (parallel/tp.py)
+# ---------------------------------------------------------------------------
+
+def _tp_cfg():
+    # 2 vision heads (width 128) / 4 text heads — both divide the model
+    # axes below, so head sharding is exact (no GSPMD padding)
+    from clip_calibration_tpu.models import clip as M
+    return M.CLIPConfig(32, 32, 2, 128, 8, 64, 4, 2)
+
+
+def test_tower_tp_gating():
+    """tower_tp returns None unless the mesh has a model axis > 1 (the
+    DP-only path must not pay constraint tracing)."""
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.parallel.tp import tower_tp
+    assert tower_tp(None) is None
+    assert tower_tp(make_mesh((8, 1))) is None
+    tp = tower_tp(make_mesh((4, 2)))
+    assert tp is not None and tp.batch_axis == "data"
+    assert tower_tp(make_mesh((1, 8))).batch_axis is None
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (4, 2)],
+                         ids=["pure-tp", "dp-x-tp"])
+def test_tensor_parallel_encode_matches_single_device(mesh_shape):
+    """TP towers (heads/hidden over 'model', parallel/tp.py) must be
+    numerically equal to the unsharded fp32 program: head-parallel
+    attention partitions an embarrassingly parallel axis and the two
+    per-layer psums sum the same partial products."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.parallel.tp import tower_tp
+
+    cfg = _tp_cfg()
+    params = M.init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    toks = np.zeros((8, 77), np.int64)
+    for i in range(8):
+        k = int(rng.integers(3, 20))
+        toks[i, 0] = cfg.vocab_size - 2
+        toks[i, 1:1 + k] = rng.integers(1, cfg.vocab_size - 2, k)
+        toks[i, 1 + k] = cfg.vocab_size - 1
+    toks = jnp.asarray(toks)
+
+    img_single = jax.jit(lambda p, x: M.encode_image(
+        p, cfg, x, dtype=jnp.float32))(params, imgs)
+    txt_single = jax.jit(lambda p, t: M.encode_text(
+        p, cfg, t, dtype=jnp.float32))(params, toks)
+
+    mesh = make_mesh(mesh_shape)
+    tp = tower_tp(mesh)
+    assert tp is not None
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    p_sh = jax.device_put(params, repl)
+    img_tp = jax.jit(
+        lambda p, x: M.encode_image(p, cfg, x, dtype=jnp.float32, tp=tp),
+        in_shardings=(repl, data_sh), out_shardings=repl)(
+        p_sh, jax.device_put(imgs, data_sh))
+    txt_tp = jax.jit(
+        lambda p, t: M.encode_text(p, cfg, t, dtype=jnp.float32, tp=tp),
+        in_shardings=(repl, data_sh), out_shardings=repl)(
+        p_sh, jax.device_put(toks, data_sh))
+
+    np.testing.assert_allclose(np.asarray(img_tp), np.asarray(img_single),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(txt_tp), np.asarray(txt_single),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_rejects_resnet():
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.parallel.tp import tower_tp
+    import jax.numpy as jnp
+    cfg = M.PRESETS["RN-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tp = tower_tp(make_mesh((1, 8)))
+    with pytest.raises(ValueError, match="data-parallel"):
+        M.encode_image(params, cfg,
+                       jnp.zeros((2, 32, 32, 3), jnp.float32), tp=tp)
+
+
+def test_serving_predictor_tensor_parallel(tmp_path, monkeypatch):
+    """Predictor on a (2, 4) mesh: batch over 'data', ViT tower heads/
+    hidden over 'model' — probabilities must match the meshless
+    predictor exactly (fp32)."""
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.serving import Predictor
+
+    fixdir = osp.join(osp.dirname(__file__), "fixtures", "golden_e2e",
+                      "weights")
+    if not osp.isdir(fixdir):
+        pytest.skip("golden_e2e fixture not generated")
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", fixdir)
+
+    classes = ["cat", "dog", "pelican"]
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (10, 32, 32, 3), dtype=np.uint8)
+
+    plain = Predictor("ViT-Test", classes, precision="fp32",
+                      batch_size=8)
+    tp = Predictor("ViT-Test", classes, precision="fp32", batch_size=8,
+                   mesh=make_mesh((2, 4)))
+    out_plain = plain.predict(images)
+    out_tp = tp.predict(images)
+    np.testing.assert_allclose(out_tp["probs"], out_plain["probs"],
+                               rtol=2e-5, atol=2e-5)
+    assert (out_tp["preds"] == out_plain["preds"]).all()
