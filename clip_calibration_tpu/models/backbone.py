@@ -33,6 +33,13 @@ def _candidate_names(backbone_name: str):
     return names
 
 
+def available_models():
+    """Names `load_clip_backbone` accepts (reference
+    ``clip/clip.py:84-86`` public API; the public zoo plus this repo's
+    tiny test backbones)."""
+    return sorted(PRESETS)
+
+
 def _search_dirs():
     dirs = []
     env = os.environ.get("CLIP_CHECKPOINT_DIR")

@@ -308,3 +308,17 @@ def test_encode_text_raw_tokens_rejects_dropped_eot(golden, converted):
     bad = int(np.asarray(toks).argmax(-1).max())  # == max EOT -> drops it
     with pytest.raises(ValueError, match="drops an EOT"):
         M.encode_text(params, cfg, toks, dtype=jnp.float32, seq_len=bad)
+
+
+def test_available_models_and_name_resolution():
+    """Reference public API parity (``clip/clip.py:84-86``): the full
+    published zoo is listed, and zoo names resolve to the filesystem
+    spellings OpenAI's published checkpoints use."""
+    from clip_calibration_tpu.models.backbone import (_candidate_names,
+                                                      available_models)
+    zoo = {"RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
+           "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px"}
+    assert zoo <= set(available_models())
+    assert _candidate_names("ViT-B/16") == ["ViT-B-16"]
+    assert _candidate_names("ViT-L/14@336px") == [
+        "ViT-L-14@336px", "ViT-L-14-336px"]
