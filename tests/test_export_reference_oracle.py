@@ -283,3 +283,119 @@ def test_maple_export_runs_in_reference_stack(tmp_path, monkeypatch):
             x.transpose(0, 3, 1, 2)))[0].numpy()
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_promptsrc_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """PromptSRC through the reference's own modules: the IVLP design —
+    independent learnable prompts INSIDE both towers (``clip/model.py:
+    191-256`` VPT / per-layer VPT_shallow) plus the text ctx — loaded
+    from our exported whole-model state dict (reference registers the
+    full CustomCLIP under "prompt_learner", ``promptsrc.py:262``).
+
+    The reference module is CUDA-hardcoded in ``VLPromptLearner.
+    __init__`` (``.cuda()`` on the frozen teacher, ``promptsrc.py:
+    116-128``) — neutralized for the CPU oracle; ``load_clip_to_cpu``
+    is patched to hand back the same vanilla backbone our trainer
+    loaded, exactly what its zero-shot branch builds.
+    """
+    import copy
+
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(2)
+    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+               "vision_ctx": 0, "language_ctx": 0}
+    ref_vanilla = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408,
+                                     64, 4, 2,
+                                     design_details=vanilla).float().eval()
+    # ship weights over the npz route so the PRESET's 4 heads are kept:
+    # the .pt route infers heads = width // 64 (the reference's own
+    # build_model rule, ``clip/model.py:668``) = 1 at this toy width,
+    # which is a DIFFERENT attention function than the 4-head oracle
+    sd = {k: v.detach().numpy() for k, v in
+          ref_vanilla.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "PromptSRC", tmp_path / "data",
+        output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX_TEXT=2, N_CTX_VISION=2,
+                         PROMPT_DEPTH_TEXT=2, PROMPT_DEPTH_VISION=2,
+                         PREC="fp32"))
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    paths = t.export_reference_checkpoint(native, exported, epoch=1)
+    state = torch.load(paths[0], map_location="cpu",
+                       weights_only=False)["state_dict"]
+
+    # the reference IVLP CLIP: vanilla backbone weights + learnable
+    # in-tower prompts (random here; the export overrides every one)
+    ivlp = {"trainer": "IVLP", "vision_depth": 2, "language_depth": 2,
+            "vision_ctx": 2, "language_ctx": 2}
+    torch.manual_seed(3)
+    ref_ivlp = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=ivlp).float().eval()
+    res = ref_ivlp.load_state_dict(ref_vanilla.state_dict(),
+                                   strict=False)
+    assert res.unexpected_keys == []  # vanilla ⊂ IVLP
+
+    # CPU oracle: the reference module hardcodes .cuda()/.half()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.Tensor, "half", lambda self: self)
+
+    _load_ref_trainer_module(
+        "trainers/classification/imagenet_templates.py",
+        "trainers.classification.imagenet_templates")
+    ref_ps = _load_ref_trainer_module(
+        "trainers/classification/promptsrc.py",
+        "trainers.classification.promptsrc")
+    monkeypatch.setattr(
+        ref_ps, "load_clip_to_cpu",
+        lambda cfg, zero_shot_model=False: copy.deepcopy(ref_vanilla))
+
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PROMPTSRC=_cfg_ns(
+            N_CTX_TEXT=2, N_CTX_VISION=2, CTX_INIT="a photo of a",
+            PROMPT_DEPTH_TEXT=2, PROMPT_DEPTH_VISION=2)),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        OPTIM=_cfg_ns(MAX_EPOCH=1))
+    ref_cc = ref_ps.CustomCLIP(cfg, classnames, ref_ivlp).float().eval()
+
+    for k in ("prompt_learner.token_prefix",
+              "prompt_learner.token_suffix"):
+        state.pop(k, None)
+    assert {"prompt_learner.ctx", "image_encoder.VPT",
+            "image_encoder.transformer.resblocks.1.VPT_shallow",
+            "text_encoder.transformer.resblocks.1.VPT_shallow",
+            } <= set(state)
+    result = ref_cc.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []          # naming is exact
+
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        theirs = ref_cc(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
