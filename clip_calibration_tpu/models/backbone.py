@@ -74,6 +74,17 @@ def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
             if osp.exists(pt):
                 print(f"Converting CLIP torch weights from {pt}")
                 params, inferred = load_torch_clip(pt, dtype_str)
+                if inferred != cfg:
+                    # the .pt route infers the config from tensor shapes
+                    # with the reference's build_model rules (heads =
+                    # width // 64, clip/model.py:656-699) — for the
+                    # public zoo that reproduces the preset exactly, so
+                    # a mismatch means the file is NOT the named model;
+                    # the inferred config wins (it matches the weights)
+                    # but silence here once cost a debugging session
+                    print(f"WARNING: {pt} does not match the "
+                          f"{backbone_name!r} preset (inferred "
+                          f"{inferred}); using the inferred config")
                 return params, inferred
 
     print(f"WARNING: no pretrained weights found for {backbone_name!r} "

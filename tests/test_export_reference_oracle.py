@@ -76,8 +76,12 @@ def _load_ref_trainer_module(rel, name):
                 out[i, :len(ids)] = torch.tensor(ids)
             return out
 
+        def _no_load(*a, **k):  # import-time only (proda.py:17)
+            raise RuntimeError("clip.load is stubbed in the oracle")
+
         clip_sub = types.ModuleType("clip.clip")
         clip_sub.tokenize = _tokenize
+        clip_sub.load = _no_load
         clip_pkg = types.ModuleType("clip")
         clip_pkg.__path__ = []  # package marker for submodule imports
         clip_pkg.clip = clip_sub
@@ -388,6 +392,101 @@ def test_promptsrc_export_runs_in_reference_stack(tmp_path, monkeypatch):
     assert result.unexpected_keys == []          # naming is exact
 
     rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        theirs = ref_cc(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_proda_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """ProDA through the reference's own modules: the 32-prompt (here
+    4-prompt) distribution with MIXED class-token positions — the pos
+    vector assigns 1/4 of prompts front, 1/4 middle, 1/2 end
+    (``proda.py:111-115``) — and eval-time ``set_classifier`` mean
+    features (``proda.py:316-331``). The round-trip tests check the
+    ctx tensor layout; this gate checks the position-mix SEMANTICS by
+    comparing eval logits end to end.
+
+    The reference module hardcodes CUDA (``device='cuda'`` tensors,
+    ``clip_model.cuda()``); neutralized for the CPU oracle.
+    """
+    import copy
+
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(4)
+    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+               "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=vanilla).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "ProDA", tmp_path / "data",
+        output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=2, N_PROMPT=4, PROMPT_BS=2, PREC="fp32"))
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    paths = t.export_reference_checkpoint(native, exported, epoch=1)
+    state = torch.load(paths[0], map_location="cpu",
+                       weights_only=False)["state_dict"]
+    assert tuple(state["ctx"].shape) == (4, 2, 64)
+
+    # CPU oracle: the reference module hardcodes CUDA
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    _orig_tensor = torch.tensor
+
+    def _cpu_tensor(*a, **k):
+        k.pop("device", None)
+        return _orig_tensor(*a, **k)
+
+    monkeypatch.setattr(torch, "tensor", _cpu_tensor)
+
+    ref_proda = _load_ref_trainer_module(
+        "trainers/classification/proda.py",
+        "trainers.classification.proda")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PRODA=_cfg_ns(N_CTX=2, N_PROMPT=4, PROMPT_BS=2,
+                                      ALPHA=0.1)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_proda.CustomCLIP(cfg, classnames,
+                                  copy.deepcopy(ref_clip)).eval()
+
+    for k in ("token_prefix", "token_suffix",
+              "nc_token_prefix", "nc_token_suffix"):
+        state.pop(k, None)
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []          # naming is exact
+    assert "ctx" not in result.missing_keys
+
+    ref_cc.set_classifier()
+    t.set_classifier()
+
+    rng = np.random.default_rng(4)
     images = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
     ours = np.asarray(t.model_inference(images)[0], np.float32)
 
