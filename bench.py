@@ -220,5 +220,46 @@ def _eval_pipeline_throughput(batch: int = 256, n_cls: int = 100,
     return sorted(trials)[1]
 
 
+def _wait_for_device(attempts: int = 4, probe_timeout: int = 240,
+                     retry_sleep: int = 90) -> bool:
+    """Bounded wait for the (remote-attached) TPU backend.
+
+    ``jax.devices()`` HANGS in-process while the tunnel is down, and the
+    first backend query poisons later retries (xla_bridge caches the
+    init), so the probe runs in a SUBPROCESS with a timeout; the parent
+    only initializes its own backend after a probe succeeds. Returns
+    False after ~(attempts x (timeout + sleep)) without a device, so an
+    outage yields a diagnosable JSON line instead of a silent hang."""
+    import os
+    import subprocess
+    import sys
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, env=dict(os.environ),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU backend unavailable (probe {i + 1}/{attempts}); "
+              f"retrying in {retry_sleep}s", flush=True)
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    return False
+
+
 if __name__ == "__main__":
-    main()
+    if _wait_for_device():
+        main()
+    else:
+        print(json.dumps({
+            "metric": "vit_b16_image_encode_throughput",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "TPU backend unavailable (device init timed out "
+                     "after bounded retries; tunnel down?)",
+        }))
+        raise SystemExit(1)
