@@ -243,9 +243,13 @@ def _wait_for_device(attempts: int = 4, probe_timeout: int = 240,
                 return True
         except subprocess.TimeoutExpired:
             pass
-        print(f"# TPU backend unavailable (probe {i + 1}/{attempts}); "
-              f"retrying in {retry_sleep}s", flush=True)
+        # diagnostics on STDERR — stdout is reserved for the one
+        # contract JSON line
+        print(f"TPU backend unavailable (probe {i + 1}/{attempts})",
+              file=sys.stderr, flush=True)
         if i + 1 < attempts:
+            print(f"retrying in {retry_sleep}s", file=sys.stderr,
+                  flush=True)
             time.sleep(retry_sleep)
     return False
 

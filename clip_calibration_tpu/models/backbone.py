@@ -65,11 +65,16 @@ def load_clip_backbone(backbone_name: str, dtype_str: str = "bfloat16"):
     cfg = PRESETS[backbone_name]
 
     for d in _search_dirs():
+        # extensions OUTER: every filesystem spelling of the native npz
+        # outranks any .pt (the docstring's resolution order — a curated
+        # fp32 npz must not be shadowed by a torch file under another
+        # spelling)
         for fname in _candidate_names(backbone_name):
             npz = osp.join(d, fname + ".npz")
             if osp.exists(npz):
                 print(f"Loading CLIP weights from {npz}")
                 return load_params(npz), cfg
+        for fname in _candidate_names(backbone_name):
             pt = osp.join(d, fname + ".pt")
             if osp.exists(pt):
                 print(f"Converting CLIP torch weights from {pt}")

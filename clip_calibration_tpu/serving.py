@@ -137,6 +137,12 @@ class Predictor:
         from .parallel.tp import tower_tp
 
         tp = tower_tp(mesh)
+        if tp is not None and not self.cfg.is_vit:
+            # fail at construction, not at the first request's jit trace
+            raise ValueError(
+                "Tensor-parallel serving covers the ViT towers only; "
+                "serve ResNet backbones on a data-only mesh "
+                "(parallel/tp.py)")
 
         def encode(params, images):
             if images.shape[1:3] != (cfg.image_resolution,

@@ -322,3 +322,25 @@ def test_available_models_and_name_resolution():
     assert _candidate_names("ViT-B/16") == ["ViT-B-16"]
     assert _candidate_names("ViT-L/14@336px") == [
         "ViT-L-14@336px", "ViT-L-14-336px"]
+
+
+def test_npz_outranks_pt_across_spellings(tmp_path, monkeypatch, capsys):
+    """Resolution order: a native npz under ANY filesystem spelling
+    outranks a .pt under another spelling in the same directory (the
+    docstring's npz-first contract)."""
+    import jax
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.backbone import load_clip_backbone
+    from clip_calibration_tpu.models.weights import save_params
+
+    cfg = M.PRESETS["ViT-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # npz under the @-preserving spelling, decoy .pt under the other;
+    # ViT-Test has one spelling, so craft via the 336px name
+    name = "ViT-L/14@336px"
+    save_params(str(tmp_path / "ViT-L-14@336px.npz"), params)
+    (tmp_path / "ViT-L-14-336px.pt").write_bytes(b"not a checkpoint")
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(tmp_path))
+    # must pick the npz (the decoy .pt would raise in torch.load)
+    loaded, _ = load_clip_backbone(name, "float32")
+    assert "Loading CLIP weights" in capsys.readouterr().out

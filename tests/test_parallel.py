@@ -189,8 +189,10 @@ def test_proda_class_sharded_matches_single_device(tmp_path):
 # ---------------------------------------------------------------------------
 
 def _tp_cfg():
-    # 2 vision heads (width 128) / 4 text heads — both divide the model
-    # axes below, so head sharding is exact (no GSPMD padding)
+    # 2 vision heads (width 128) / 4 text heads: the (4, 2) mesh divides
+    # both exactly; the (1, 8) mesh oversubscribes them, so that case
+    # additionally exercises GSPMD's padded (uneven) head sharding —
+    # both must be numerically inert
     from clip_calibration_tpu.models import clip as M
     return M.CLIPConfig(32, 32, 2, 128, 8, 64, 4, 2)
 
@@ -297,3 +299,13 @@ def test_serving_predictor_tensor_parallel(tmp_path, monkeypatch):
     np.testing.assert_allclose(out_tp["probs"], out_plain["probs"],
                                rtol=2e-5, atol=2e-5)
     assert (out_tp["preds"] == out_plain["preds"]).all()
+
+
+def test_serving_predictor_rejects_resnet_tp(tmp_path, monkeypatch):
+    """ResNet + model-axis mesh must fail at CONSTRUCTION (a deployment
+    misconfiguration should not pass startup and die on first request)."""
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.serving import Predictor
+    with pytest.raises(ValueError, match="data-only"):
+        Predictor("RN-Test", ["a", "b"], precision="fp32",
+                  mesh=make_mesh((1, 8)))
