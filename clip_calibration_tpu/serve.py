@@ -1,0 +1,202 @@
+"""Batch-serving CLI: images in, calibrated predictions out.
+
+The reference has no serving entry point — deployment means rerunning
+``train.py --eval-only`` against a dataset directory. This CLI fronts
+the library serving API (``serving.Predictor`` /
+``serving.TrainerPredictor.from_checkpoint``) for the deployment shape
+that actually occurs: a directory of images + (weights, classnames) ->
+one JSON line per image.
+
+    # zero-shot
+    python -m clip_calibration_tpu.serve --backbone ViT-B/16 \
+        --classnames cat dog pelican --images ./photos --out preds.jsonl
+
+    # any trainer-family checkpoint, dataset-free
+    python -m clip_calibration_tpu.serve --checkpoint-dir output/maple \
+        --trainer MaPLe --config-file configs/trainers/MaPLe/...yaml \
+        --classnames-file classes.txt --images ./photos
+
+    # DAC class confidences + fitted temperature (CoOp-family)
+    python -m clip_calibration_tpu.serve --backbone ViT-B/16 \
+        --checkpoint-dir output/coop --coop-prompt \
+        --classnames-file classes.txt --images ./photos \
+        --class-confidence conf.npy --temperature 2.3
+
+Host-side geometry uses the eval transform (shorter-side bicubic +
+center crop — ``data/transforms.py``); pass ``--preprocess-on-device``
+to ship raw uniform-size uint8 and run geometry on the TPU instead
+(``ops/preprocess.device_preprocess``). ``--mesh 2,4`` serves over a
+(data, model) device mesh — data-parallel batches, tensor-parallel ViT
+towers (``parallel/tp.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m clip_calibration_tpu.serve",
+        description="Serve calibrated CLIP predictions over a directory "
+                    "of images (no dataset directory needed)")
+    p.add_argument("--images", required=True,
+                   help="image file(s) or a directory")
+    p.add_argument("--out", default="-",
+                   help="output JSONL path (default stdout)")
+    p.add_argument("--backbone", default="ViT-B/16")
+    p.add_argument("--classnames", nargs="*", default=None)
+    p.add_argument("--classnames-file", default=None,
+                   help="one classname per line")
+    p.add_argument("--template", default="a photo of a {}.")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="trainer output dir (torch .pth.tar-N or npz)")
+    p.add_argument("--coop-prompt", action="store_true",
+                   help="treat --checkpoint-dir as a CoOp-family prompt "
+                        "checkpoint (Predictor.from_prompt_checkpoint) "
+                        "instead of a full trainer build")
+    p.add_argument("--trainer", default=None,
+                   help="registered trainer name for --checkpoint-dir")
+    p.add_argument("--config-file", default=None,
+                   help="training config yaml reproducing the checkpoint"
+                        "'s hyperparameters")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--precision", default="bf16",
+                   choices=("bf16", "fp32"))
+    p.add_argument("--class-confidence", default=None,
+                   help=".npy with per-class DAC confidences")
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--mesh", default=None,
+                   help="device mesh shape, e.g. '8' (DP) or '2,4' "
+                        "(DP x tensor-parallel towers)")
+    p.add_argument("--preprocess-on-device", action="store_true")
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="config overrides KEY VALUE ... (trainer builds)")
+    return p
+
+
+def _classnames(args) -> list:
+    if args.classnames_file:
+        with open(args.classnames_file) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    if args.classnames:
+        return list(args.classnames)
+    raise SystemExit("--classnames or --classnames-file is required")
+
+
+def _image_paths(spec: str) -> list:
+    import os
+    if osp.isdir(spec):
+        out = [osp.join(spec, n) for n in sorted(os.listdir(spec))
+               if n.lower().endswith(IMG_EXTS)]
+        if not out:
+            raise SystemExit(f"no images under {spec}")
+        return out
+    if not osp.exists(spec):
+        raise SystemExit(f"no such file: {spec}")
+    return [spec]
+
+
+def _load_images(paths, resolution: int, on_device: bool) -> np.ndarray:
+    """uint8 [N, H, W, 3]: eval geometry host-side, or raw pixels for
+    device-side geometry (all sources must share one size then)."""
+    from PIL import Image
+
+    if not on_device:
+        from .config import get_cfg_default
+        from .data.transforms import build_transform
+
+        cfg = get_cfg_default()
+        cfg.INPUT.SIZE = (resolution, resolution)
+        tf = build_transform(cfg, is_train=False)
+        return np.stack([tf(Image.open(p)) for p in paths])
+    arrs = [np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            for p in paths]
+    if len({a.shape for a in arrs}) != 1:
+        raise SystemExit(
+            "--preprocess-on-device needs uniform source sizes "
+            "(one compiled geometry); resize host-side or drop the flag")
+    return np.stack(arrs)
+
+
+def build_predictor(args, classnames):
+    from .serving import Predictor, TrainerPredictor
+
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(int(x) for x in args.mesh.split(",")))
+    conf = (np.load(args.class_confidence)
+            if args.class_confidence else None)
+
+    if args.checkpoint_dir and not args.coop_prompt:
+        if conf is not None and args.temperature is not None:
+            raise SystemExit(
+                "for trainer checkpoints, express a fitted temperature "
+                "as a TempScaling checkpoint (it serves dataset-free)")
+        return TrainerPredictor.from_checkpoint(
+            args.checkpoint_dir, classnames, trainer_name=args.trainer,
+            backbone=args.backbone, config_file=args.config_file,
+            opts=args.opts or None, epoch=args.epoch,
+            class_confidence=conf, batch_size=args.batch_size)
+    kwargs = dict(precision=args.precision, batch_size=args.batch_size,
+                  class_confidence=conf, temperature=args.temperature,
+                  mesh=mesh, preprocess_on_device=args.preprocess_on_device)
+    if args.checkpoint_dir:
+        return Predictor.from_prompt_checkpoint(
+            args.backbone, classnames, args.checkpoint_dir,
+            epoch=args.epoch, **kwargs)
+    return Predictor(args.backbone, classnames, template=args.template,
+                     **kwargs)
+
+
+def main(argv=None) -> int:
+    from .tools.platform import cpu_platform_requested, force_cpu_platform
+    if cpu_platform_requested():
+        # the axon TPU plugin ignores JAX_PLATFORMS (tools/platform.py)
+        force_cpu_platform()
+    args = build_parser().parse_args(argv)
+    classnames = _classnames(args)
+    paths = _image_paths(args.images)
+
+    pred = build_predictor(args, classnames)
+    res = getattr(pred, "cfg", None)
+    resolution = (res.image_resolution if res is not None
+                  else pred.trainer.clip_cfg.image_resolution)
+    images = _load_images(paths, resolution, args.preprocess_on_device)
+    out = pred.predict(images)
+
+    k = max(1, min(args.topk, len(classnames)))
+    order = np.argsort(-out["probs"], axis=1)[:, :k]
+    sink = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        for i, path in enumerate(paths):
+            row = {
+                "image": path,
+                "pred": classnames[int(out["preds"][i])],
+                "confidence": round(float(out["confidences"][i]), 6),
+            }
+            if k > 1:
+                row["topk"] = [
+                    {"class": classnames[int(j)],
+                     "prob": round(float(out["probs"][i, j]), 6)}
+                    for j in order[i]]
+            sink.write(json.dumps(row) + "\n")
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+            print(f"wrote {len(paths)} predictions to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -459,3 +459,50 @@ def test_device_preprocess_resize_matches_pil():
     pil = np.asarray(Image.fromarray(img).resize(
         (32, 32), Image.BICUBIC), np.float32) / 255.0
     assert np.abs(ours - pil).max() < 0.02
+
+
+def test_serve_cli_zeroshot(tmp_path):
+    """python -m clip_calibration_tpu.serve end to end: directory of
+    images -> one JSON line per image, with top-k and out-file modes."""
+    from PIL import Image
+
+    from clip_calibration_tpu.serve import main
+
+    rng = np.random.default_rng(7)
+    imdir = tmp_path / "imgs"
+    imdir.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (48, 40, 3),
+                                     dtype=np.uint8)
+                        ).save(str(imdir / f"im{i}.png"))
+    out = str(tmp_path / "preds.jsonl")
+    rc = main(["--backbone", "ViT-Test", "--classnames", *BASE,
+               "--images", str(imdir), "--out", out,
+               "--precision", "fp32", "--topk", "2"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in open(out)]
+    assert len(rows) == 3
+    for row in rows:
+        assert row["pred"] in BASE
+        assert len(row["topk"]) == 2
+        assert 0.0 <= row["confidence"] <= 1.0
+
+
+def test_serve_cli_coop_checkpoint(tmp_path):
+    """--coop-prompt serves a CoOp prompt checkpoint through the CLI."""
+    from PIL import Image
+
+    from clip_calibration_tpu.serve import main
+
+    rng = np.random.default_rng(8)
+    img = tmp_path / "one.png"
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                 dtype=np.uint8)).save(str(img))
+    out = str(tmp_path / "preds.jsonl")
+    rc = main(["--backbone", "ViT-Test", "--classnames", *BASE,
+               "--images", str(img), "--out", out,
+               "--checkpoint-dir", osp.join(FIX, "coop_model"),
+               "--coop-prompt", "--precision", "fp32"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in open(out)]
+    assert len(rows) == 1 and rows[0]["pred"] in BASE
