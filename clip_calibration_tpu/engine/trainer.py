@@ -312,6 +312,23 @@ class TrainerX:
         different registered names, e.g. MaPLe's MultiModalPromptLearner)."""
         return [name]
 
+    def _resolve_aliased(self, directory: str, name: str,
+                         epoch: Optional[int],
+                         model_name: str = "model"):
+        """Resolve model ``name``'s checkpoint file under ``directory``,
+        trying each ``checkpoint_dir_aliases`` subdirectory in order —
+        the one resolution policy shared by ``load_model`` and
+        ``export_reference_checkpoint``."""
+        for alias in self.checkpoint_dir_aliases(name):
+            try:
+                return resolve_model_file(osp.join(directory, alias),
+                                          epoch, model_name=model_name)
+            except FileNotFoundError:
+                continue
+        raise FileNotFoundError(
+            f"No checkpoint for {name!r} under {directory!r} "
+            f"(tried {self.checkpoint_dir_aliases(name)})")
+
     def convert_reference_state(self, name: str, state: Dict[str, Any]):
         """Hook: map a reference torch state dict (dots -> nesting, torch
         [out,in] Linear weights) onto this trainer's param pytree. Default
@@ -342,19 +359,9 @@ class TrainerX:
         for name in self.get_model_names():
             # same alias search as load_model: the source dir may be
             # laid out under the reference's registered names
-            path = None
-            for alias in self.checkpoint_dir_aliases(name):
-                try:
-                    path = resolve_model_file(
-                        osp.join(directory, alias), epoch,
-                        model_name=self.checkpoint_model_name)
-                    break
-                except FileNotFoundError:
-                    continue
-            if path is None:
-                raise FileNotFoundError(
-                    f"No checkpoint for {name!r} under {directory!r} "
-                    f"(tried {self.checkpoint_dir_aliases(name)})")
+            path = self._resolve_aliased(
+                directory, name, epoch,
+                model_name=self.checkpoint_model_name)
             ckpt = load_checkpoint(path)
             state = ckpt["state_dict"]
             if ckpt["native"]:
@@ -375,18 +382,7 @@ class TrainerX:
                   "model is given")
             return
         for name in self.get_model_names():
-            path = None
-            for alias in self.checkpoint_dir_aliases(name):
-                try:
-                    path = resolve_model_file(osp.join(directory, alias),
-                                              epoch)
-                    break
-                except FileNotFoundError:
-                    continue
-            if path is None:
-                raise FileNotFoundError(
-                    f"No checkpoint for {name!r} under {directory!r} "
-                    f"(tried {self.checkpoint_dir_aliases(name)})")
+            path = self._resolve_aliased(directory, name, epoch)
             ckpt = load_checkpoint(path)
             state = self.convert_reference_state(name, ckpt["state_dict"])
             # Ignore fixed token vectors: class sets change between

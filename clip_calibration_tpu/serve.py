@@ -23,11 +23,15 @@ one JSON line per image.
         --class-confidence conf.npy --temperature 2.3
 
 Host-side geometry uses the eval transform (shorter-side bicubic +
-center crop — ``data/transforms.py``); pass ``--preprocess-on-device``
-to ship raw uniform-size uint8 and run geometry on the TPU instead
-(``ops/preprocess.device_preprocess``). ``--mesh 2,4`` serves over a
-(data, model) device mesh — data-parallel batches, tensor-parallel ViT
-towers (``parallel/tp.py``).
+center crop — ``data/transforms.py``; ``--config-file`` supplies the
+training run's INPUT tree, else the reference yamls' bicubic is
+assumed); pass ``--preprocess-on-device`` to ship raw uniform-size
+uint8 and run geometry on the TPU instead
+(``ops/preprocess.device_preprocess``, ``Predictor`` paths only).
+``--mesh 2,4`` serves over a (data, model) device mesh — data-parallel
+batches, tensor-parallel ViT towers (``parallel/tp.py``); on the
+trainer-checkpoint path the mesh shape feeds ``TPU.MESH_SHAPE`` (data-
+parallel batches plus the trainer's own fan-out shardings).
 """
 
 from __future__ import annotations
@@ -106,18 +110,35 @@ def _image_paths(spec: str) -> list:
     return [spec]
 
 
-def _load_images(paths, resolution: int, on_device: bool) -> np.ndarray:
+def _host_transform(args, resolution: int):
+    """Eval-geometry transform matching the checkpoint's training run:
+    ``--config-file`` (+opts) supplies the INPUT tree verbatim; without
+    one, shorter-side BICUBIC + center crop — the geometry of every
+    shipped trainer yaml and of the reference CLIP eval pipeline
+    (``clip/clip.py:74-81``), not the bare Dassl bilinear default."""
+    from .config import get_cfg_default
+    from .data.transforms import build_transform
+
+    cfg = get_cfg_default()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+        if args.opts:
+            cfg.merge_from_list(list(args.opts))
+    else:
+        cfg.INPUT.INTERPOLATION = "bicubic"
+    # the model resolution is authoritative (predict() validates it)
+    cfg.INPUT.SIZE = (resolution, resolution)
+    return build_transform(cfg, is_train=False)
+
+
+def _load_images(paths, resolution: int, on_device: bool,
+                 args) -> np.ndarray:
     """uint8 [N, H, W, 3]: eval geometry host-side, or raw pixels for
     device-side geometry (all sources must share one size then)."""
     from PIL import Image
 
     if not on_device:
-        from .config import get_cfg_default
-        from .data.transforms import build_transform
-
-        cfg = get_cfg_default()
-        cfg.INPUT.SIZE = (resolution, resolution)
-        tf = build_transform(cfg, is_train=False)
+        tf = _host_transform(args, resolution)
         return np.stack([tf(Image.open(p)) for p in paths])
     arrs = [np.asarray(Image.open(p).convert("RGB"), np.uint8)
             for p in paths]
@@ -131,23 +152,38 @@ def _load_images(paths, resolution: int, on_device: bool) -> np.ndarray:
 def build_predictor(args, classnames):
     from .serving import Predictor, TrainerPredictor
 
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-        mesh = make_mesh(tuple(int(x) for x in args.mesh.split(",")))
     conf = (np.load(args.class_confidence)
             if args.class_confidence else None)
 
     if args.checkpoint_dir and not args.coop_prompt:
-        if conf is not None and args.temperature is not None:
+        if args.temperature is not None:
+            # silently serving untempered probabilities would be the
+            # exact miscalibration this CLI exists to prevent
             raise SystemExit(
-                "for trainer checkpoints, express a fitted temperature "
-                "as a TempScaling checkpoint (it serves dataset-free)")
+                "--temperature does not apply to trainer checkpoints; "
+                "express a fitted temperature as a TempScaling "
+                "checkpoint (it serves dataset-free)")
+        if args.preprocess_on_device:
+            raise SystemExit(
+                "--preprocess-on-device covers the zero-shot/"
+                "--coop-prompt paths only (serving.Predictor); trainer "
+                "checkpoints need host-side geometry at the model "
+                "resolution")
+        opts = list(args.opts or [])
+        if args.mesh:
+            # the trainer builds its own mesh from TPU.MESH_SHAPE and
+            # shards batches over its data axis (engine put_batch)
+            opts += ["TPU.MESH_SHAPE",
+                     repr(tuple(int(x) for x in args.mesh.split(",")))]
         return TrainerPredictor.from_checkpoint(
             args.checkpoint_dir, classnames, trainer_name=args.trainer,
             backbone=args.backbone, config_file=args.config_file,
-            opts=args.opts or None, epoch=args.epoch,
+            opts=opts or None, epoch=args.epoch,
             class_confidence=conf, batch_size=args.batch_size)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(int(x) for x in args.mesh.split(",")))
     kwargs = dict(precision=args.precision, batch_size=args.batch_size,
                   class_confidence=conf, temperature=args.temperature,
                   mesh=mesh, preprocess_on_device=args.preprocess_on_device)
@@ -172,7 +208,8 @@ def main(argv=None) -> int:
     res = getattr(pred, "cfg", None)
     resolution = (res.image_resolution if res is not None
                   else pred.trainer.clip_cfg.image_resolution)
-    images = _load_images(paths, resolution, args.preprocess_on_device)
+    images = _load_images(paths, resolution, args.preprocess_on_device,
+                          args)
     out = pred.predict(images)
 
     k = max(1, min(args.topk, len(classnames)))

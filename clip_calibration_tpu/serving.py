@@ -332,6 +332,17 @@ def build_serving_trainer(classnames: Sequence[str],
     from . import trainers as _register_trainers  # noqa: F401
     from .evaluators import vl_evaluator as _register_eval  # noqa: F401
 
+    if cfg is not None:
+        overrides = {"trainer_name": trainer_name, "backbone": backbone,
+                     "config_file": config_file, "opts": opts}
+        clash = [k for k, v in overrides.items() if v]
+        if clash:
+            # silently ignoring these would build a prompt layout that
+            # does not match the checkpoint the caller loads next
+            raise ValueError(
+                f"build_serving_trainer: {clash} are ignored when an "
+                f"explicit cfg is passed — bake them into the cfg, or "
+                f"drop the cfg argument")
     if cfg is None:
         cfg = get_cfg_default()
         if config_file:
@@ -407,6 +418,11 @@ class TrainerPredictor:
         self.trainer = trainer
         self.batch_size = int(batch_size
                               or trainer.cfg.DATALOADER.TEST.BATCH_SIZE)
+        if trainer.mesh is not None:
+            # round up to the data axis so every padded chunk divides
+            # evenly and put_batch never falls back single-device
+            n_data = trainer.mesh.shape["data"]
+            self.batch_size = -(-self.batch_size // n_data) * n_data
         n_cls = trainer.dm.num_classes
         if class_confidence is not None and \
                 len(class_confidence) != n_cls:

@@ -506,3 +506,91 @@ def test_serve_cli_coop_checkpoint(tmp_path):
     assert rc == 0
     rows = [json.loads(ln) for ln in open(out)]
     assert len(rows) == 1 and rows[0]["pred"] in BASE
+
+
+def test_serve_cli_trainer_path_flag_guards(tmp_path, monkeypatch):
+    """Flags the trainer-checkpoint path cannot honor must fail loudly,
+    and --mesh must translate into TPU.MESH_SHAPE (data-parallel serving
+    through the trainer's own put_batch), not be silently dropped."""
+    from clip_calibration_tpu import serve, serving
+
+    base = ["--images", str(tmp_path), "--classnames", *BASE,
+            "--checkpoint-dir", osp.join(FIX, "coop_model"),
+            "--trainer", "CoOp"]
+    # --temperature cannot reach a trainer build: serving untempered
+    # probabilities silently would be the miscalibration bug class
+    with pytest.raises(SystemExit):
+        serve.build_predictor(
+            serve.build_parser().parse_args(base + ["--temperature",
+                                                    "2.0"]), BASE)
+    # TrainerPredictor has no device-geometry path
+    with pytest.raises(SystemExit):
+        serve.build_predictor(
+            serve.build_parser().parse_args(
+                base + ["--preprocess-on-device"]), BASE)
+
+    captured = {}
+
+    def fake_from_checkpoint(*a, **kw):
+        captured.update(kw)
+        return "sentinel"
+
+    monkeypatch.setattr(serving.TrainerPredictor, "from_checkpoint",
+                        staticmethod(fake_from_checkpoint))
+    monkeypatch.setattr(serve, "TrainerPredictor", serving.TrainerPredictor,
+                        raising=False)
+    args = serve.build_parser().parse_args(base + ["--mesh", "4,2"])
+    assert serve.build_predictor(args, BASE) == "sentinel"
+    opts = captured["opts"]
+    assert opts[opts.index("TPU.MESH_SHAPE") + 1] == "(4, 2)"
+
+
+def test_serve_host_geometry_honors_config_interpolation(tmp_path):
+    """Without --config-file the host transform is bicubic (the geometry
+    of every shipped yaml and the reference CLIP eval pipeline,
+    clip/clip.py:74-81) — NOT the bare Dassl bilinear default; with one,
+    the yaml's INPUT tree wins. Served pixels must match training-time
+    eval geometry or probabilities shift between the two paths."""
+    from PIL import Image
+
+    from clip_calibration_tpu.serve import build_parser, _host_transform
+
+    src = Image.fromarray(
+        (np.mgrid[0:64, 0:48][0] * 3 % 256).astype(np.uint8)
+    ).convert("RGB")
+
+    args = build_parser().parse_args(
+        ["--images", "x", "--classnames", "a"])
+    got = _host_transform(args, 32)(src)
+    # shorter side 48 -> 32, long side truncates to 42, center crop
+    want = np.asarray(
+        src.resize((32, 42), Image.BICUBIC))[5:37, :, :]
+    # same resampler + geometry -> identical bytes
+    assert got.shape == (32, 32, 3)
+    assert np.array_equal(got, want)
+
+    cfgf = tmp_path / "bilinear.yaml"
+    cfgf.write_text("INPUT:\n  INTERPOLATION: bilinear\n")
+    args2 = build_parser().parse_args(
+        ["--images", "x", "--classnames", "a",
+         "--config-file", str(cfgf)])
+    got2 = _host_transform(args2, 32)(src)
+    want2 = np.asarray(
+        src.resize((32, 42), Image.BILINEAR))[5:37, :, :]
+    assert np.array_equal(got2, want2)
+    assert not np.array_equal(got, got2)
+
+
+def test_build_serving_trainer_rejects_conflicting_cfg():
+    """An explicit cfg plus trainer_name/backbone/config_file/opts must
+    raise — silently ignoring the overrides would build a prompt layout
+    that cannot match the checkpoint loaded next."""
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.serving import build_serving_trainer
+
+    cfg = get_cfg_default()
+    with pytest.raises(ValueError, match="trainer_name"):
+        build_serving_trainer(BASE, trainer_name="CoOp", cfg=cfg)
+    with pytest.raises(ValueError, match="opts"):
+        build_serving_trainer(BASE, opts=["INPUT.SIZE", "(32, 32)"],
+                              cfg=cfg)
