@@ -181,3 +181,115 @@ def test_bin_mean_shift_random():
                                               tprox.copy()),
                                np.asarray(ref_out), rtol=1e-9,
                                atol=1e-12)
+
+
+@pytest.mark.slow
+def test_coop_training_trajectory_matches_reference(tmp_path, monkeypatch):
+    """TRAIN-time parity, end to end: the same 2-epoch SGD trajectory in
+    both stacks from identical init on identical batches must land on
+    the same ctx vectors.
+
+    Every other live gate checks inference; this one composes what they
+    cannot see together: the CE loss (reference ``coop.py:212-220``),
+    the gradient through BOTH frozen towers, torch-SGD
+    momentum/weight-decay semantics (Dassl ``build_optimizer``), and the
+    per-epoch warmup-constant -> cosine LR handoff (Dassl
+    ``build_lr_scheduler``; our per-step optax schedule must advance
+    epochs at exactly the reference's update_lr() boundary,
+    ``coop.py:296-298``)."""
+    import torch
+    import torch.nn.functional as F
+
+    from test_export_reference_oracle import (_cfg_ns, _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    # -- one shared backbone ------------------------------------------
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(11)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    # -- our trainer at a schedule that exercises the warmup handoff ---
+    lr, wd, mom, cons_lr = 0.05, 0.01, 0.9, 1e-5
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CoOp", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "cosine", "OPTIM.MAX_EPOCH": 2,
+                   "OPTIM.WARMUP_EPOCH": 1,
+                   "OPTIM.WARMUP_TYPE": "constant",
+                   "OPTIM.WARMUP_CONS_LR": cons_lr,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 8},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT="", PREC="fp32"))
+    steps_per_epoch = len(t.train_loader_x)
+    ctx0 = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+
+    # -- the reference stack, seeded with OUR ctx init -----------------
+    ref_coop = _load_ref_trainer_module(
+        "trainers/classification/coop.py",
+        "trainers.classification.coop")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(COOP=_cfg_ns(N_CTX=4, CTX_INIT="", CSC=False,
+                                     CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_coop.CustomCLIP(cfg, classnames, ref_clip).float()
+    for name, p in ref_cc.named_parameters():  # reference coop.py:250-253
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    with torch.no_grad():
+        ref_cc.prompt_learner.ctx.copy_(torch.from_numpy(ctx0))
+    ref_cc.train()
+
+    topt = torch.optim.SGD(ref_cc.prompt_learner.parameters(), lr=lr,
+                           momentum=mom, weight_decay=wd)
+    # Dassl per-epoch LRs: constant warmup, then CosineAnnealingLR that
+    # has been stepping since epoch 0 (same recipe as test_optim.py)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, T_max=2)
+    epoch_lrs = []
+    for epoch in range(2):
+        epoch_lrs.append(cons_lr if epoch < 1
+                         else tsched.get_last_lr()[0])
+        tsched.step()
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(17)
+    for epoch in range(2):
+        for g in topt.param_groups:
+            g["lr"] = epoch_lrs[epoch]
+        for _ in range(steps_per_epoch):
+            imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+            labels = rng.integers(0, len(classnames), (8,))
+            ours = float(t.forward_backward(
+                {"img": imgs, "label": labels})["loss"])
+
+            x = (imgs.astype(np.float32) / 255.0 - mean) / std
+            loss = ref_cc(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          torch.from_numpy(labels))
+            topt.zero_grad()
+            loss.backward()
+            topt.step()
+            assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    ctx_ours = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+    ctx_ref = ref_cc.prompt_learner.ctx.detach().numpy()
+    assert not np.allclose(ctx_ref, ctx0)  # training actually moved it
+    np.testing.assert_allclose(ctx_ours, ctx_ref, rtol=1e-3, atol=2e-5)
