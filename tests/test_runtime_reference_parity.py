@@ -293,3 +293,139 @@ def test_coop_training_trajectory_matches_reference(tmp_path, monkeypatch):
     ctx_ref = ref_cc.prompt_learner.ctx.detach().numpy()
     assert not np.allclose(ctx_ref, ctx0)  # training actually moved it
     np.testing.assert_allclose(ctx_ours, ctx_ref, rtol=1e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_prograd_training_trajectory_matches_reference(tmp_path,
+                                                       monkeypatch):
+    """ProGrad trajectory through the reference's own modules: the
+    template-tail ctx init (``prograd.py:88-105``), the frozen zero-shot
+    teacher (``prograd.py:230-260``), the ProGradLoss CE/KL pair
+    (``prograd.py:291-304``) and the gradient-surgery update
+    (``prograd_backward_and_update``, ``prograd.py:371-409``, emulated
+    here line-for-line on the reference model's true autograd grads
+    since the Dassl trainer plumbing is absent) must land on the same
+    ctx as our single-jit two-vjp-pull step."""
+    import copy
+
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(13)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "ProGrad", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 8},
+        trainer_cfg=dict(N_CTX=6, CTX_INIT=True, PREC="fp32"))
+    lam = float(t.cfg.TRAINER.PROGRAD.LAMBDA)
+    T = float(t.cfg.TRAINER.PROGRAD.T)
+    ctx0 = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+
+    _load_ref_trainer_module("trainers/classification/coop.py",
+                             "trainers.classification.coop")
+    ref_pg = _load_ref_trainer_module(
+        "trainers/classification/prograd.py",
+        "trainers.classification.prograd")
+    from clip_calibration_tpu.trainers.templates import CUSTOM_TEMPLATES
+    monkeypatch.setitem(ref_pg.CUSTOM_TEMPLATES, "Synthetic",
+                        CUSTOM_TEMPLATES["Synthetic"])
+    monkeypatch.setattr(
+        ref_pg, "load_clip_to_cpu",
+        lambda cfg: copy.deepcopy(ref_clip))
+
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PROGRAD=_cfg_ns(N_CTX=6, CTX_INIT=True,
+                                        CSC=False,
+                                        CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"),
+        MODEL=_cfg_ns(BACKBONE=_cfg_ns(NAME="ViT-Test")))
+    ref_cc = ref_pg.CustomCLIP(cfg, classnames, ref_clip).float()
+    teacher = ref_pg.CLIP(cfg, classnames).float().eval()
+    criterion = ref_pg.ProGradLoss(T=T)
+    for name, p in ref_cc.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+
+    # the template-tail init must agree BEFORE any step (both stacks
+    # derive it from the same embeddings — nothing is copied over)
+    np.testing.assert_allclose(
+        ctx0, ref_cc.prompt_learner.ctx.detach().numpy(),
+        rtol=1e-5, atol=1e-6)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(ref_cc.prompt_learner.parameters(), lr=lr,
+                           momentum=mom, weight_decay=wd)
+    ctx_p = ref_cc.prompt_learner.ctx
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(23)
+    projected = []
+    for _ in range(6):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (8,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        output, _, _ = ref_cc(x)
+        with torch.no_grad():
+            zs_logits = teacher(x)
+        xe, kl = criterion(output, zs_logits.detach(),
+                           torch.from_numpy(labels))
+        assert ours == pytest.approx(xe.item(), abs=2e-4)
+
+        # reference prograd_backward_and_update, verbatim math
+        topt.zero_grad()
+        kl.backward(retain_graph=True)
+        b_grad = ctx_p.grad.clone()
+        topt.zero_grad()
+        xe.backward()
+        b_hat = b_grad / torch.linalg.norm(b_grad)
+        a_grad = ctx_p.grad.clone()
+        a_hat = a_grad / torch.linalg.norm(a_grad)
+        conflict = torch.dot(a_hat.flatten(), b_hat.flatten()) < 0
+        projected.append(bool(conflict))
+        if conflict:
+            ctx_p.grad = a_grad - lam * torch.dot(
+                a_grad.flatten(), b_hat.flatten()) * b_hat
+        topt.step()
+
+    # seeded batches exercise BOTH branches of the surgery
+    assert any(projected) and not all(projected), projected
+
+    ctx_ours = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+    np.testing.assert_allclose(
+        ctx_ours, ctx_p.detach().numpy(), rtol=1e-3, atol=2e-5)
