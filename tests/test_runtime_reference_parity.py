@@ -429,3 +429,138 @@ def test_prograd_training_trajectory_matches_reference(tmp_path,
         t._models["prompt_learner"]["params"]["ctx"], np.float32)
     np.testing.assert_allclose(
         ctx_ours, ctx_p.detach().numpy(), rtol=1e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_maple_training_trajectory_matches_reference(tmp_path,
+                                                     monkeypatch):
+    """MaPLe trajectory through the reference's own modules: gradients
+    must flow through the coupled text->vision projections (reference
+    ``maple.py:111,126-127``) identically in both parameterizations —
+    ours keeps [in, out] matmul weights, torch keeps [out, in] — so
+    after 4 shared-batch SGD steps the exported whole prompt_learner
+    state (ctx, proj, compound prompts and their projections) must
+    match the reference's tensors. The export round-trip/oracle tests
+    pin this mapping at inference; this is the only gate that pins it
+    through ``jax.grad``."""
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models.clip import PRESETS
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(17)
+    design = {"trainer": "MaPLe", "vision_depth": 0,
+              "language_depth": 0, "vision_ctx": 0, "language_ctx": 0,
+              "maple_length": 2}
+    # the reference hardcodes the proj target to 768 and the compound
+    # text prompts to 512 (maple.py:111,119) — same dims as the
+    # inference oracle, shallow towers to stay fast
+    ref_clip = ref_model_mod.CLIP(64, 32, 2, 768, 16, 77, 49408,
+                                  512, 8, 2,
+                                  design_details=design).float().eval()
+    assert "ViT-Test" in PRESETS
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    torch.save(ref_clip.state_dict(), str(wdir / "ViT-Test.pt"))
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "MaPLe", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 4},
+        trainer_cfg=dict(N_CTX=2, PROMPT_DEPTH=2, PREC="fp32",
+                         CTX_INIT="a photo of a"))
+
+    # seed the reference with OUR initial state via the export path
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+
+    _load_ref_trainer_module("trainers/classification/coop.py",
+                             "trainers.classification.coop")
+    ref_maple = _load_ref_trainer_module(
+        "trainers/classification/maple.py",
+        "trainers.classification.maple")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(MAPLE=_cfg_ns(N_CTX=2, CTX_INIT="a photo of a",
+                                      PROMPT_DEPTH=2)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_maple.CustomCLIP(cfg, classnames,
+                                  ref_clip).float()
+    for k in ("prompt_learner.token_prefix",
+              "prompt_learner.token_suffix"):
+        state0.pop(k, None)
+    res = ref_cc.load_state_dict(state0, strict=False)
+    assert res.unexpected_keys == []
+    for name, p in ref_cc.named_parameters():  # maple.py:244-251
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(
+        [p for p in ref_cc.prompt_learner.parameters()
+         if p.requires_grad], lr=lr, momentum=mom, weight_decay=wd)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(29)
+    for _ in range(4):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (4,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        # width-768 fp32 reduction noise compounds through the shared
+        # trajectory (measured: 2e-5 at step 0, up to 2.8e-3 by step 2,
+        # non-monotone — noise, not drift); a systematic mapping error
+        # would diverge at the movement scale (~0.45, see below)
+        assert ours == pytest.approx(loss.item(), abs=1e-2)
+
+    # full trained prompt_learner pytree, through the export mapping
+    native1 = str(tmp_path / "native1")
+    t.save_model(0, native1)
+    paths = t.export_reference_checkpoint(native1,
+                                          str(tmp_path / "exp1"),
+                                          epoch=1)
+    trained = torch.load(paths[0], map_location="cpu",
+                         weights_only=False)["state_dict"]
+    ref_sd = {f"prompt_learner.{k}": v for k, v in
+              ref_cc.prompt_learner.state_dict().items()}
+    compared = 0
+    for k, v in trained.items():
+        if "token_prefix" in k or "token_suffix" in k:
+            continue
+        # tensors move by up to ~0.45 over the 4 steps while the
+        # measured cross-stack deviation peaks at 4.2e-4 (0.1% of the
+        # movement): tolerance sits 5x above the noise floor and 100x
+        # below a wrong-mapping signature
+        np.testing.assert_allclose(
+            v.numpy(), ref_sd[k].detach().numpy(),
+            rtol=0, atol=2e-3, err_msg=k)
+        # training must actually have moved every trainable tensor
+        assert not np.allclose(v.numpy(), state0[k].numpy(),
+                               atol=1e-4), k
+        compared += 1
+    assert compared >= 6  # ctx, proj w/b, compound text, compound w/b
