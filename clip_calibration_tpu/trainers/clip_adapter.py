@@ -59,8 +59,13 @@ class CLIP_Adapter(VLBaseLearner):
         toks = tokenize(prompts)
         ccfg = self.clip_cfg
         seq = M.eot_seq_len(toks)
+        # reference dtype: fp16 normally, fp32 under PREC fp32
+        # (clip_adapter.py:202-206) — follow the compute dtype instead
+        # of the bare bf16 default
         self.text_features = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
+            lambda p, t: M.encode_text(p, ccfg, t,
+                                       dtype=self.compute_dtype,
+                                       seq_len=seq))(
                 self.clip_params, jnp.asarray(toks))
 
         dim = ccfg.embed_dim

@@ -65,11 +65,14 @@ class ProGrad(CoOp):
         self.T = tcfg.T
         self.lambda_ = tcfg.LAMBDA
         assert tcfg.LOSS_NAME == "prograd"
+        # the reference teacher is UNCONDITIONALLY fp32 — its zs CLIP is
+        # `.float()`-ed regardless of PREC (prograd.py:235); one-time
+        # build cost, so match it exactly
         zs = encode_classnames_zs(self.cfg.MODEL.BACKBONE.NAME,
                                   self.cfg.DATASET.NAME,
                                   self.dm.dataset.classnames,
                                   CUSTOM_TEMPLATES[self.cfg.DATASET.NAME],
-                                  precision=self.cfg.MODEL.PRECISION)
+                                  precision="fp32")
         self._zs_text = jnp.asarray(zs, jnp.float32)
 
     def _losses(self, trainable, frozen, images, labels):

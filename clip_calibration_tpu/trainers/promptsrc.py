@@ -93,8 +93,13 @@ class PromptSRC(VLBaseLearner):
         # one static truncation length across templates: a single
         # compiled shape, ~2.5x less text-tower work (models/clip.py)
         seq = max(M.eot_seq_len(t) for t in all_toks)
+        # the reference text teacher is UNCONDITIONALLY fp32 — a fresh
+        # `.float()`-ed CLIP copy regardless of PREC (promptsrc.py:115);
+        # computed once at build, so fp32 costs nothing per step (the
+        # bf16 default here was caught by the trajectory oracle)
         encode = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
+            lambda p, t: M.encode_text(p, ccfg, t, dtype=jnp.float32,
+                                       seq_len=seq))
         feats = [np.asarray(encode(self.clip_params, jnp.asarray(t)),
                             np.float32) for t in all_toks]
         self.fixed_embeddings = jnp.asarray(

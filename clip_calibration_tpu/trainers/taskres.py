@@ -73,8 +73,12 @@ class TaskRes(VLBaseLearner):
                     for name in classnames]
         # shared static truncation across classes -> one compiled shape
         seq = max(M.eot_seq_len(t) for t in all_toks)
+        # the reference TaskRes model is UNCONDITIONALLY fp32
+        # (self.model.float(), taskres.py:248); the frozen base text
+        # features are one-time build cost, so match that exactly
         encode = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))
+            lambda p, t: M.encode_text(p, ccfg, t, dtype=jnp.float32,
+                                       seq_len=seq))
         feats = [np.asarray(encode(params, jnp.asarray(t)),
                             np.float32).mean(axis=0) for t in all_toks]
         self.base_text_features = jnp.asarray(np.stack(feats))

@@ -62,8 +62,13 @@ class VPT(VLBaseLearner):
         ccfg = self.clip_cfg
         toks = tokenize(prompts)
         seq = M.eot_seq_len(toks)
+        # the reference VPT model is UNCONDITIONALLY fp32 (its
+        # load_clip_to_cpu returns model.float(), vpt.py:42); the fixed
+        # text features are one-time build cost, so match that exactly
+        # (the bf16 tower per-step compute stays — documented deviation)
         self.text_features = jax.jit(
-            lambda p, t: M.encode_text(p, ccfg, t, seq_len=seq))(
+            lambda p, t: M.encode_text(p, ccfg, t, dtype=jnp.float32,
+                                       seq_len=seq))(
                 self.clip_params, jnp.asarray(toks))
 
         vw = ccfg.vision_width

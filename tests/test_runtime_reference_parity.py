@@ -564,3 +564,166 @@ def test_maple_training_trajectory_matches_reference(tmp_path,
                                atol=1e-4), k
         compared += 1
     assert compared >= 6  # ctx, proj w/b, compound text, compound w/b
+
+
+@pytest.mark.slow
+def test_promptsrc_training_trajectory_matches_reference(tmp_path,
+                                                         monkeypatch):
+    """PromptSRC trajectory through the reference's own modules: the
+    4-term loss — CE + 25x L1(text, zs-template-mean) + 10x L1(img,
+    zs-img) + KL(logits, zs logits) (reference ``promptsrc.py:
+    298-314``, composed here with the same lines since it lives in the
+    trainer, not the model) — and its gradients into ctx AND the
+    in-tower IVLP prompts of both towers must produce the same SGD
+    trajectory. Catches teacher-feature drift (60-template mean,
+    frozen image tower) and loss-weight mismatches no inference gate
+    can see. GPA is per-epoch machinery on both sides and stays out of
+    a direct-step trajectory."""
+    import copy
+
+    import torch
+    import torch.nn.functional as F
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(19)
+    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+               "vision_ctx": 0, "language_ctx": 0}
+    ref_vanilla = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408,
+                                     64, 4, 2,
+                                     design_details=vanilla).float().eval()
+    sd = {k: v.detach().numpy() for k, v in
+          ref_vanilla.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "PromptSRC", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 4},
+        trainer_cfg=dict(N_CTX_TEXT=2, N_CTX_VISION=2,
+                         PROMPT_DEPTH_TEXT=2, PROMPT_DEPTH_VISION=2,
+                         PREC="fp32"))
+    w_text = float(t.cfg.TRAINER.PROMPTSRC.TEXT_LOSS_WEIGHT)
+    w_image = float(t.cfg.TRAINER.PROMPTSRC.IMAGE_LOSS_WEIGHT)
+
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+
+    # reference IVLP CLIP + CPU neutralization (as the inference oracle)
+    ivlp = {"trainer": "IVLP", "vision_depth": 2, "language_depth": 2,
+            "vision_ctx": 2, "language_ctx": 2}
+    torch.manual_seed(20)
+    ref_ivlp = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=ivlp).float().eval()
+    res = ref_ivlp.load_state_dict(ref_vanilla.state_dict(),
+                                   strict=False)
+    assert res.unexpected_keys == []
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.Tensor, "half", lambda self: self)
+
+    _load_ref_trainer_module(
+        "trainers/classification/imagenet_templates.py",
+        "trainers.classification.imagenet_templates")
+    ref_ps = _load_ref_trainer_module(
+        "trainers/classification/promptsrc.py",
+        "trainers.classification.promptsrc")
+    monkeypatch.setattr(
+        ref_ps, "load_clip_to_cpu",
+        lambda cfg, zero_shot_model=False: copy.deepcopy(ref_vanilla))
+
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PROMPTSRC=_cfg_ns(
+            N_CTX_TEXT=2, N_CTX_VISION=2, CTX_INIT="a photo of a",
+            PROMPT_DEPTH_TEXT=2, PROMPT_DEPTH_VISION=2)),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        OPTIM=_cfg_ns(MAX_EPOCH=1))
+    ref_cc = ref_ps.CustomCLIP(cfg, classnames, ref_ivlp).float()
+    for k in ("prompt_learner.token_prefix",
+              "prompt_learner.token_suffix"):
+        state0.pop(k, None)
+    res = ref_cc.load_state_dict(state0, strict=False)
+    assert res.unexpected_keys == []
+    for name, p in ref_cc.named_parameters():  # promptsrc.py:245-252
+        if "prompt_learner" not in name:
+            p.requires_grad_("VPT" in name)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(
+        [p for p in ref_cc.parameters() if p.requires_grad],
+        lr=lr, momentum=mom, weight_decay=wd)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(37)
+    for _ in range(4):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (4,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        (loss_ce, text_f, zs_text, zs_img, img_f, zs_logits,
+         logits) = ref_cc(x, torch.from_numpy(labels))
+        # reference forward_backward loss composition, verbatim
+        loss_scl_text = F.l1_loss(text_f, zs_text,
+                                  reduction="mean") * w_text
+        loss_scl_image = F.l1_loss(img_f, zs_img,
+                                   reduction="mean") * w_image
+        l_kl = F.kl_div(
+            F.log_softmax(logits / 1, dim=1),
+            F.log_softmax(zs_logits / 1, dim=1),
+            reduction="sum", log_target=True) * (1 * 1) / logits.numel()
+        loss = loss_ce + loss_scl_text + loss_scl_image + l_kl
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    native1 = str(tmp_path / "native1")
+    t.save_model(0, native1)
+    paths = t.export_reference_checkpoint(native1,
+                                          str(tmp_path / "exp1"),
+                                          epoch=1)
+    trained = torch.load(paths[0], map_location="cpu",
+                         weights_only=False)["state_dict"]
+    ref_sd = dict(ref_cc.state_dict())
+    compared = 0
+    for k, v in trained.items():
+        if "token_prefix" in k or "token_suffix" in k:
+            continue
+        np.testing.assert_allclose(
+            v.numpy(), ref_sd[k].detach().numpy(),
+            rtol=0, atol=5e-5, err_msg=k)
+        assert not np.allclose(v.numpy(), state0[k].numpy(),
+                               atol=1e-5), k
+        compared += 1
+    # ctx + in-tower prompts of BOTH towers all trained and compared
+    assert compared >= 4, compared
