@@ -727,3 +727,352 @@ def test_promptsrc_training_trajectory_matches_reference(tmp_path,
         compared += 1
     # ctx + in-tower prompts of BOTH towers all trained and compared
     assert compared >= 4, compared
+
+
+@pytest.mark.slow
+def test_kgcoop_training_trajectory_matches_reference(tmp_path,
+                                                      monkeypatch):
+    """KgCoOp trajectory through the reference's own modules: CE plus
+    the w*(1 - mean cos(text, frozen-zs-text)) regularizer (reference
+    ``kgcoop.py:260-268``) — the regularizer pulls gradients through
+    the tuned text tower toward the CUSTOM_TEMPLATES teacher, a
+    direction no inference gate exercises."""
+    import copy
+
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(23)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "KgCoOp", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 8},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT=True, PREC="fp32"))
+    ctx0 = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+
+    # the reference teacher init hardcodes CUDA (kgcoop.py:151-162);
+    # neutralized for the CPU oracle
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    ref_kg = _load_ref_trainer_module(
+        "trainers/classification/kgcoop.py",
+        "trainers.classification.kgcoop")
+    from clip_calibration_tpu.trainers.templates import CUSTOM_TEMPLATES
+    monkeypatch.setitem(ref_kg.CUSTOM_TEMPLATES, "Synthetic",
+                        CUSTOM_TEMPLATES["Synthetic"])
+    monkeypatch.setattr(ref_kg, "load_clip_to_cpu",
+                        lambda cfg: copy.deepcopy(ref_clip))
+
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(KGCOOP=_cfg_ns(N_CTX=4, CTX_INIT=True,
+                                       W=float(t.cfg.TRAINER.KGCOOP.W),
+                                       CSC=False,
+                                       CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"),
+        MODEL=_cfg_ns(BACKBONE=_cfg_ns(NAME="ViT-Test")))
+    ref_cc = ref_kg.CustomCLIP(cfg, classnames, ref_clip).float()
+    for name, p in ref_cc.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    # CTX_INIT=True -> "a photo of a" embedded init (kgcoop.py:102-107),
+    # deterministic in both stacks — nothing copied
+    np.testing.assert_allclose(
+        ctx0, ref_cc.prompt_learner.ctx.detach().numpy(),
+        rtol=1e-5, atol=1e-6)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(ref_cc.prompt_learner.parameters(), lr=lr,
+                           momentum=mom, weight_decay=wd)
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(41)
+    for _ in range(5):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (8,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    ctx_ours = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+    ctx_ref = ref_cc.prompt_learner.ctx.detach().numpy()
+    assert not np.allclose(ctx_ref, ctx0, atol=1e-4)
+    np.testing.assert_allclose(ctx_ours, ctx_ref, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_proda_training_trajectory_matches_reference(tmp_path,
+                                                     monkeypatch):
+    """ProDA trajectory through the reference's own modules: the
+    covariance-corrected logits (our reassociated form vs the
+    reference's [D, n_cls, n_cls] einsum, ``proda.py:283-292``), the
+    class-free diversity penalty (``proda.py:296-302``) and the mixed
+    front/middle/end position tensor must produce identical gradients
+    into the prompt distribution. PROMPT_BS == N_PROMPT makes the
+    prompt minibatch the identity in both stacks (reference
+    ``proda.py:146-157``: n_iter == 1 skips the randperm), so the
+    trajectories are deterministic and comparable."""
+    import copy
+
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(29)
+    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+               "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=vanilla).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "ProDA", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 4},
+        trainer_cfg=dict(N_CTX=2, N_PROMPT=4, PROMPT_BS=4, PREC="fp32"))
+    alpha = float(t.cfg.TRAINER.PRODA.ALPHA)
+
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+    assert tuple(state0["ctx"].shape) == (4, 2, 64)
+
+    # CPU oracle: the reference module hardcodes CUDA tensors/eye
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    _orig_tensor = torch.tensor
+    _orig_eye = torch.eye
+
+    def _cpu(fn):
+        def wrapped(*a, **k):
+            k.pop("device", None)
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(torch, "tensor", _cpu(_orig_tensor))
+    monkeypatch.setattr(torch, "eye", _cpu(_orig_eye))
+
+    ref_proda = _load_ref_trainer_module(
+        "trainers/classification/proda.py",
+        "trainers.classification.proda")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PRODA=_cfg_ns(N_CTX=2, N_PROMPT=4, PROMPT_BS=4,
+                                      ALPHA=alpha)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_proda.CustomCLIP(cfg, classnames,
+                                  copy.deepcopy(ref_clip)).float()
+    for k in ("token_prefix", "token_suffix",
+              "nc_token_prefix", "nc_token_suffix"):
+        state0.pop(k, None)
+    res = ref_cc.prompt_learner.load_state_dict(state0, strict=False)
+    assert res.unexpected_keys == []
+    for name, p in ref_cc.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(
+        [p for p in ref_cc.prompt_learner.parameters()
+         if p.requires_grad], lr=lr, momentum=mom, weight_decay=wd)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(43)
+    for _ in range(4):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (4,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    ctx_ours = np.asarray(
+        t._models["prompt_learner"]["params"]["ctx"], np.float32)
+    ctx_ref = ref_cc.prompt_learner.ctx.detach().numpy()
+    assert not np.allclose(ctx_ref, np.asarray(state0["ctx"]),
+                           atol=1e-4)
+    np.testing.assert_allclose(ctx_ours, ctx_ref, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_cocoop_training_trajectory_matches_reference(tmp_path,
+                                                      monkeypatch):
+    """CoCoOp trajectory through the reference's own modules: gradients
+    into the instance-conditioning meta_net — the riskiest Linear
+    transpose in the export mapping (reference ``cocoop.py:104-108``) —
+    and into ctx through the per-image text encodes
+    (``cocoop.py:193-199``) must produce the same SGD trajectory as our
+    chunked single-jit step. The full trained pytree (ctx + both
+    meta_net layers) is compared through the export mapping."""
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(31)
+    design = {"trainer": "CoCoOp", "vision_depth": 0,
+              "language_depth": 0, "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    lr, wd, mom = 0.05, 0.01, 0.9
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CoCoOp", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "OPTIM.NAME": "sgd", "OPTIM.LR": lr,
+                   "OPTIM.MOMENTUM": mom, "OPTIM.WEIGHT_DECAY": wd,
+                   "OPTIM.LR_SCHEDULER": "constant",
+                   "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+                   "DATALOADER.TRAIN_X.BATCH_SIZE": 4},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT="", PREC="fp32"))
+
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+
+    ref_cocoop = _load_ref_trainer_module(
+        "trainers/classification/cocoop.py", "ref_cocoop")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(COCOOP=_cfg_ns(N_CTX=4, CTX_INIT="",
+                                       PREC="fp32")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_cocoop.CustomCLIP(cfg, classnames, ref_clip).float()
+    for k in ("token_prefix", "token_suffix"):
+        state0.pop(k, None)
+    res = ref_cc.prompt_learner.load_state_dict(state0, strict=False)
+    assert res.unexpected_keys == []
+    for name, p in ref_cc.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    ref_cc.train()
+
+    topt = torch.optim.SGD(
+        [p for p in ref_cc.prompt_learner.parameters()
+         if p.requires_grad], lr=lr, momentum=mom, weight_decay=wd)
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(47)
+    for _ in range(4):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (4,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    native1 = str(tmp_path / "native1")
+    t.save_model(0, native1)
+    paths = t.export_reference_checkpoint(native1,
+                                          str(tmp_path / "exp1"),
+                                          epoch=1)
+    trained = torch.load(paths[0], map_location="cpu",
+                         weights_only=False)["state_dict"]
+    ref_sd = dict(ref_cc.prompt_learner.state_dict())
+    compared = 0
+    for k, v in trained.items():
+        if "token_prefix" in k or "token_suffix" in k:
+            continue
+        np.testing.assert_allclose(
+            v.numpy(), ref_sd[k].detach().numpy(),
+            rtol=0, atol=5e-5, err_msg=k)
+        assert not np.allclose(v.numpy(), state0[k].numpy(),
+                               atol=1e-5), k
+        compared += 1
+    assert compared >= 5  # ctx + meta_net 2x(weight, bias)
