@@ -1076,3 +1076,336 @@ def test_cocoop_training_trajectory_matches_reference(tmp_path,
                                atol=1e-5), k
         compared += 1
     assert compared >= 5  # ctx + meta_net 2x(weight, bias)
+
+
+def _toy_backbone_via_npz(ref_model_mod, tmp_path, monkeypatch, seed,
+                          design=None):
+    """Vanilla 64-wide reference CLIP + its weights shipped to our
+    stack over the npz route (keeps the ViT-Test preset's 4 heads)."""
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    torch.manual_seed(seed)
+    design = design or {"trainer": "CoOp", "vision_depth": 0,
+                        "language_depth": 0, "vision_ctx": 0,
+                        "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    return ref_clip
+
+
+_SGD = {"OPTIM.NAME": "sgd", "OPTIM.LR": 0.05, "OPTIM.MOMENTUM": 0.9,
+        "OPTIM.WEIGHT_DECAY": 0.01, "OPTIM.LR_SCHEDULER": "constant",
+        "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+        "DATALOADER.TRAIN_X.BATCH_SIZE": 8}
+
+
+def _torch_sgd(params):
+    import torch
+    return torch.optim.SGD(params, lr=0.05, momentum=0.9,
+                           weight_decay=0.01)
+
+
+@pytest.mark.slow
+def test_taskres_training_trajectory_matches_reference(tmp_path,
+                                                       monkeypatch):
+    """TaskRes trajectory through the reference's own modules: the
+    template-averaged frozen base text features (reference
+    ``taskres.py:109-135``, fp32 — asserted equal across stacks before
+    any step) plus SGD on the zero-initialized residual
+    (``t + alpha*x``, ``taskres.py:96-106``)."""
+    import torch
+    import torch.nn.functional as F
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                                     monkeypatch, seed=37)
+
+    from helpers import build_synthetic_trainer
+    # the TaskRes cfg node is mixed-case (TRAINER.TaskRes), so set
+    # PREC via overrides rather than the upper-casing trainer_cfg hook
+    t = build_synthetic_trainer(
+        "TaskRes", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides=dict(_SGD, **{"MODEL.PRECISION": "fp32",
+                                "TRAINER.TaskRes.PREC": "fp32"}))
+
+    _load_ref_trainer_module(
+        "trainers/classification/imagenet_templates.py",
+        "trainers.classification.imagenet_templates")
+    ref_tr = _load_ref_trainer_module(
+        "trainers/classification/taskres.py",
+        "trainers.classification.taskres")
+    from clip_calibration_tpu.trainers.templates import CUSTOM_TEMPLATES
+    monkeypatch.setitem(ref_tr.CUSTOM_TEMPLATES, "Synthetic",
+                        CUSTOM_TEMPLATES["Synthetic"])
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(TaskRes=_cfg_ns(
+            ENHANCED_BASE="none",
+            RESIDUAL_SCALE=float(t.cfg.TRAINER.TaskRes.RESIDUAL_SCALE))),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"))
+    # base-feature assembly hardcodes .cuda() (taskres.py:131-135)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+    ref_cc = ref_tr.CustomCLIP(cfg, classnames, ref_clip).float()
+    for name, p in ref_cc.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+
+    # the frozen base text features must already coincide — each stack
+    # computes its own from the shared backbone, fp32
+    np.testing.assert_allclose(
+        np.asarray(t.base_text_features, np.float32),
+        ref_cc.prompt_learner.base_text_features.detach().numpy(),
+        rtol=1e-5, atol=2e-6)
+    ref_cc.train()
+
+    topt = _torch_sgd(ref_cc.prompt_learner.parameters())
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(53)
+    for _ in range(5):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (8,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        logits = ref_cc(x)  # taskres forward returns logits always
+        loss = F.cross_entropy(logits, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    res_ours = np.asarray(
+        t._models["taskres_learner"]["params"]["residual"], np.float32)
+    res_ref = ref_cc.prompt_learner.text_feature_residuals.detach(
+        ).numpy()
+    assert np.abs(res_ref).max() > 1e-4  # residual actually trained
+    np.testing.assert_allclose(res_ours, res_ref, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_vpt_training_trajectory_matches_reference(tmp_path,
+                                                   monkeypatch):
+    """VPT trajectory through the reference's own modules: SGD into the
+    in-tower visual prompt tokens (design_details vision_depth/ctx,
+    reference ``vpt.py:34-42``) against the always-fp32 fixed text
+    embeddings (``vpt.py:68-90``) — exercises the image-tower prompt
+    splice under jax.grad and its export mapping
+    (image_encoder.VPT)."""
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    vanilla = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                                    monkeypatch, seed=41)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "VPT", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides=dict(_SGD, **{"MODEL.PRECISION": "fp32"}),
+        trainer_cfg=dict(N_CTX_VISION=2, PROMPT_DEPTH_VISION=1,
+                         PREC="fp32"))
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+    assert "image_encoder.VPT" in state0
+
+    # the reference VPT model: vanilla weights + VPT design
+    # (load_clip_to_cpu builds with design_details and returns
+    # model.float(), vpt.py:22-42)
+    vpt_design = {"trainer": "VPT", "vision_depth": 1, "vision_ctx": 2,
+                  "language_depth": 0, "language_ctx": 0}
+    torch.manual_seed(42)
+    ref_vpt_clip = ref_model_mod.CLIP(
+        32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+        design_details=vpt_design).float().eval()
+    res = ref_vpt_clip.load_state_dict(vanilla.state_dict(),
+                                       strict=False)
+    assert res.unexpected_keys == []
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+
+    ref_vpt = _load_ref_trainer_module(
+        "trainers/classification/vpt.py", "trainers.classification.vpt")
+    classnames = list(t.dm.dataset.classnames)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(VPT=_cfg_ns(N_CTX_VISION=2,
+                                    PROMPT_DEPTH_VISION=1)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_vpt.CustomCLIP(cfg, classnames, ref_vpt_clip).float()
+    res = ref_cc.load_state_dict(state0, strict=False)
+    assert res.unexpected_keys == []
+    for name, p in ref_cc.named_parameters():  # vpt.py:138-146
+        p.requires_grad_("VPT" in name)
+    ref_cc.train()
+
+    # fixed text features must coincide (both stacks fp32)
+    np.testing.assert_allclose(
+        np.asarray(t.text_features, np.float32),
+        ref_cc.embeddings.return_fixed_embeddings().detach().numpy(),
+        rtol=1e-5, atol=2e-6)
+
+    topt = _torch_sgd([p for p in ref_cc.parameters()
+                       if p.requires_grad])
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(59)
+    import torch.nn.functional as F  # noqa: F401 (parity with ref path)
+    for _ in range(5):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (8,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels), training=True)
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    native1 = str(tmp_path / "native1")
+    t.save_model(0, native1)
+    paths = t.export_reference_checkpoint(native1,
+                                          str(tmp_path / "exp1"),
+                                          epoch=1)
+    trained = torch.load(paths[0], map_location="cpu",
+                         weights_only=False)["state_dict"]
+    ref_sd = dict(ref_cc.state_dict())
+    vpt_t = trained["image_encoder.VPT"].numpy()
+    assert not np.allclose(vpt_t, state0["image_encoder.VPT"].numpy(),
+                           atol=1e-5)
+    np.testing.assert_allclose(
+        vpt_t, ref_sd["image_encoder.VPT"].detach().numpy(),
+        rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_clip_adapter_training_trajectory_matches_reference(tmp_path,
+                                                            monkeypatch):
+    """CLIP-Adapter trajectory through the reference's own modules: SGD
+    into the bias-free 2-layer adapter (hardcoded 512-dim, reference
+    ``clip_adapter.py:163``) with ratio-mixed image features — the
+    adapter Linears are [out,in] in torch and [in,out] here, so the
+    trajectory pins that transpose under jax.grad. Runs at 512-wide
+    towers because the reference hardcodes Adapter(512, 4) and the .pt
+    weight route infers heads = width // 64."""
+    import torch
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(43)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(512, 32, 2, 512, 16, 77, 49408,
+                                  512, 8, 2,
+                                  design_details=design).float().eval()
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    torch.save(ref_clip.state_dict(), str(wdir / "ViT-Test.pt"))
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CLIP_Adapter", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides=dict(_SGD, **{"MODEL.PRECISION": "fp32",
+                                "DATALOADER.TRAIN_X.BATCH_SIZE": 4}),
+        trainer_cfg=dict(PREC="fp32"))
+
+    native0 = str(tmp_path / "native0")
+    t.save_model(0, native0)
+    paths = t.export_reference_checkpoint(native0,
+                                          str(tmp_path / "exp0"),
+                                          epoch=1)
+    state0 = torch.load(paths[0], map_location="cpu",
+                        weights_only=False)["state_dict"]
+    assert set(state0) == {"fc.0.weight", "fc.2.weight"}
+
+    ref_ca = _load_ref_trainer_module(
+        "trainers/classification/clip_adapter.py",
+        "trainers.classification.clip_adapter")
+    classnames = list(t.dm.dataset.classnames)
+    # the reference PromptLearner reads TRAINER.COOP.N_CTX (a quirk,
+    # clip_adapter.py:74 — overwritten by the ctx_init word count)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(CLIP_ADAPTER=_cfg_ns(
+            CTX_INIT=str(t.cfg.TRAINER.CLIP_ADAPTER.CTX_INIT),
+            RATIO=float(t.cfg.TRAINER.CLIP_ADAPTER.RATIO)),
+            COOP=_cfg_ns(N_CTX=16,
+                         CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_ca.CustomCLIP(cfg, classnames, ref_clip).float()
+    res = ref_cc.adapter.load_state_dict(state0)
+    for name, p in ref_cc.named_parameters():
+        if "adapter" not in name:
+            p.requires_grad_(False)
+    ref_cc.train()
+
+    topt = _torch_sgd(ref_cc.adapter.parameters())
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(61)
+    for _ in range(4):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (4,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        loss = ref_cc(x, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        # width-512 fp32 reduction noise (see the MaPLe gate rationale)
+        assert ours == pytest.approx(loss.item(), abs=5e-3)
+
+    native1 = str(tmp_path / "native1")
+    t.save_model(0, native1)
+    paths = t.export_reference_checkpoint(native1,
+                                          str(tmp_path / "exp1"),
+                                          epoch=1)
+    trained = torch.load(paths[0], map_location="cpu",
+                         weights_only=False)["state_dict"]
+    ref_sd = dict(ref_cc.adapter.state_dict())
+    for k, v in trained.items():
+        assert not np.allclose(v.numpy(), state0[k].numpy(),
+                               atol=1e-6), k
+        np.testing.assert_allclose(
+            v.numpy(), ref_sd[k].detach().numpy(),
+            rtol=0, atol=2e-3, err_msg=k)
