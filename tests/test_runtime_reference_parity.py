@@ -183,6 +183,44 @@ def test_bin_mean_shift_random():
                                atol=1e-12)
 
 
+def _toy_backbone_via_npz(ref_model_mod, tmp_path, monkeypatch, seed,
+                          design=None):
+    """Vanilla 64-wide reference CLIP + its weights shipped to our
+    stack over the npz route (keeps the ViT-Test preset's 4 heads)."""
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    torch.manual_seed(seed)
+    design = design or {"trainer": "CoOp", "vision_depth": 0,
+                        "language_depth": 0, "vision_ctx": 0,
+                        "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=design).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params0, _ = convert_torch_clip(sd, "float32",
+                                    cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params0)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    return ref_clip
+
+
+_SGD = {"OPTIM.NAME": "sgd", "OPTIM.LR": 0.05, "OPTIM.MOMENTUM": 0.9,
+        "OPTIM.WEIGHT_DECAY": 0.01, "OPTIM.LR_SCHEDULER": "constant",
+        "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
+        "DATALOADER.TRAIN_X.BATCH_SIZE": 8}
+
+
+def _torch_sgd(params):
+    import torch
+    return torch.optim.SGD(params, lr=0.05, momentum=0.9,
+                           weight_decay=0.01)
+
+
 @pytest.mark.slow
 def test_coop_training_trajectory_matches_reference(tmp_path, monkeypatch):
     """TRAIN-time parity, end to end: the same 2-epoch SGD trajectory in
@@ -200,27 +238,14 @@ def test_coop_training_trajectory_matches_reference(tmp_path, monkeypatch):
     import torch
     import torch.nn.functional as F
 
-    from test_export_reference_oracle import (_cfg_ns, _load_ref_trainer_module,
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
                                               _load_standalone)
-
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
 
     # -- one shared backbone ------------------------------------------
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(11)
-    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
-              "vision_ctx": 0, "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=design).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                               monkeypatch, seed=11)
 
     # -- our trainer at a schedule that exercises the warmup handoff ---
     lr, wd, mom, cons_lr = 0.05, 0.01, 0.9, 1e-5
@@ -314,23 +339,9 @@ def test_prograd_training_trajectory_matches_reference(tmp_path,
                                               _load_ref_trainer_module,
                                               _load_standalone)
 
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(13)
-    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
-              "vision_ctx": 0, "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=design).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                               monkeypatch, seed=13)
 
     lr, wd, mom = 0.05, 0.01, 0.9
     from helpers import build_synthetic_trainer
@@ -588,25 +599,9 @@ def test_promptsrc_training_trajectory_matches_reference(tmp_path,
                                               _load_ref_trainer_module,
                                               _load_standalone)
 
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(19)
-    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
-               "vision_ctx": 0, "language_ctx": 0}
-    ref_vanilla = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408,
-                                     64, 4, 2,
-                                     design_details=vanilla).float().eval()
-    sd = {k: v.detach().numpy() for k, v in
-          ref_vanilla.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_vanilla = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                                        monkeypatch, seed=19)
 
     lr, wd, mom = 0.05, 0.01, 0.9
     from helpers import build_synthetic_trainer
@@ -745,23 +740,9 @@ def test_kgcoop_training_trajectory_matches_reference(tmp_path,
                                               _load_ref_trainer_module,
                                               _load_standalone)
 
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(23)
-    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
-              "vision_ctx": 0, "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=design).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                               monkeypatch, seed=23)
 
     lr, wd, mom = 0.05, 0.01, 0.9
     from helpers import build_synthetic_trainer
@@ -858,23 +839,9 @@ def test_proda_training_trajectory_matches_reference(tmp_path,
                                               _load_ref_trainer_module,
                                               _load_standalone)
 
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(29)
-    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
-               "vision_ctx": 0, "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=vanilla).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                               monkeypatch, seed=29)
 
     lr, wd, mom = 0.05, 0.01, 0.9
     from helpers import build_synthetic_trainer
@@ -980,23 +947,14 @@ def test_cocoop_training_trajectory_matches_reference(tmp_path,
                                               _load_ref_trainer_module,
                                               _load_standalone)
 
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
     ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
-    torch.manual_seed(31)
-    design = {"trainer": "CoCoOp", "vision_depth": 0,
-              "language_depth": 0, "vision_ctx": 0, "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=design).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                               monkeypatch, seed=31,
+                               design={"trainer": "CoCoOp",
+                                       "vision_depth": 0,
+                                       "language_depth": 0,
+                                       "vision_ctx": 0,
+                                       "language_ctx": 0})
 
     lr, wd, mom = 0.05, 0.01, 0.9
     from helpers import build_synthetic_trainer
@@ -1076,44 +1034,6 @@ def test_cocoop_training_trajectory_matches_reference(tmp_path,
                                atol=1e-5), k
         compared += 1
     assert compared >= 5  # ctx + meta_net 2x(weight, bias)
-
-
-def _toy_backbone_via_npz(ref_model_mod, tmp_path, monkeypatch, seed,
-                          design=None):
-    """Vanilla 64-wide reference CLIP + its weights shipped to our
-    stack over the npz route (keeps the ViT-Test preset's 4 heads)."""
-    import torch
-
-    from clip_calibration_tpu.models import clip as M
-    from clip_calibration_tpu.models.weights import (convert_torch_clip,
-                                                     save_params)
-
-    torch.manual_seed(seed)
-    design = design or {"trainer": "CoOp", "vision_depth": 0,
-                        "language_depth": 0, "vision_ctx": 0,
-                        "language_ctx": 0}
-    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
-                                  design_details=design).float().eval()
-    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
-    params0, _ = convert_torch_clip(sd, "float32",
-                                    cfg=M.PRESETS["ViT-Test"])
-    wdir = tmp_path / "weights"
-    wdir.mkdir()
-    save_params(str(wdir / "ViT-Test.npz"), params0)
-    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
-    return ref_clip
-
-
-_SGD = {"OPTIM.NAME": "sgd", "OPTIM.LR": 0.05, "OPTIM.MOMENTUM": 0.9,
-        "OPTIM.WEIGHT_DECAY": 0.01, "OPTIM.LR_SCHEDULER": "constant",
-        "OPTIM.WARMUP_EPOCH": -1, "OPTIM.MAX_EPOCH": 1,
-        "DATALOADER.TRAIN_X.BATCH_SIZE": 8}
-
-
-def _torch_sgd(params):
-    import torch
-    return torch.optim.SGD(params, lr=0.05, momentum=0.9,
-                           weight_decay=0.01)
 
 
 @pytest.mark.slow
