@@ -1329,3 +1329,104 @@ def test_clip_adapter_training_trajectory_matches_reference(tmp_path,
         np.testing.assert_allclose(
             v.numpy(), ref_sd[k].detach().numpy(),
             rtol=0, atol=2e-3, err_msg=k)
+
+
+@pytest.mark.slow
+def test_tempscaling_training_trajectory_matches_reference(tmp_path,
+                                                           monkeypatch):
+    """TempScaling trajectory through the reference's own base_model
+    mirror: the reference trains a single log-temperature (init 4.6052)
+    by CE on logits = exp(s) * unit-scale cosine similarities from the
+    frozen base model (``tempscaling.py:31-59``, composed here verbatim
+    since the trainer class needs the Dassl runtime; the features come
+    from the reference's own ``base_model/coop.py`` CustomCLIP with its
+    hard-set ``logit_scale = 1.0``). Our TempScaling wraps the live
+    CoOp learner and divides its logit scale out — this gate proves the
+    two routes produce the same temperature trajectory."""
+    import copy
+
+    import torch
+    import torch.nn.functional as F
+
+    from test_export_reference_oracle import (_cfg_ns,
+                                              _load_ref_trainer_module,
+                                              _load_standalone)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    ref_clip = _toy_backbone_via_npz(ref_model_mod, tmp_path,
+                                     monkeypatch, seed=47)
+
+    from helpers import build_synthetic_trainer
+    base_dir = str(tmp_path / "coop_base")
+    t_base = build_synthetic_trainer(
+        "CoOp", tmp_path / "data", output_dir=tmp_path / "out0",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT="", PREC="fp32"))
+    t_base.save_model(0, base_dir)
+    ctx0 = np.asarray(
+        t_base._models["prompt_learner"]["params"]["ctx"], np.float32)
+
+    t = build_synthetic_trainer(
+        "TempScaling", tmp_path / "data", output_dir=tmp_path / "out1",
+        overrides=dict(_SGD, **{
+            "MODEL.PRECISION": "fp32",
+            "CALIBRATION.SCALING.BASE_LEARNER": "CoOp",
+            "CALIBRATION.SCALING.BASE_DIR": base_dir,
+            "CALIBRATION.SCALING.BASE_EPOCH": 1,
+            "TRAINER.COOP.N_CTX": 4, "TRAINER.COOP.CTX_INIT": "",
+            "TRAINER.COOP.PREC": "fp32"}))
+    init_temp = float(t.cfg.CALIBRATION.SCALING.INIT_TEMP)
+
+    ref_bm_mod = _load_ref_trainer_module(
+        "trainers/calibration/base_model/coop.py", "ref_base_coop")
+    monkeypatch.setattr(ref_bm_mod, "load_clip_to_cpu",
+                        lambda cfg: copy.deepcopy(ref_clip))
+    classnames = list(t.dm.dataset.classnames)
+    # the reference mirror reads TRAINER.COCOOP.PREC (its own
+    # copy-paste quirk, base_model/coop.py:201)
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(COOP=_cfg_ns(N_CTX=4, CTX_INIT="", CSC=False,
+                                     CLASS_TOKEN_POSITION="end"),
+                        COCOOP=_cfg_ns(PREC="fp32")),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        MODEL=_cfg_ns(BACKBONE=_cfg_ns(NAME="ViT-Test")))
+    ref_bm = ref_bm_mod.CustomCLIP(cfg, classnames).float().eval()
+    res = ref_bm.prompt_learner.load_state_dict(
+        {"ctx": torch.from_numpy(ctx0)}, strict=False)
+    assert res.unexpected_keys == []
+
+    # our scaling trainer caches per-batch logits keyed on the val
+    # loader's impaths; the synthetic trajectory feeds raw batches, so
+    # take the uncached branch (train_loader_x is not val_loader)
+    t.val_loader = None
+
+    # reference tempscaling.py:31-59, verbatim: one trainable
+    # log-temperature over the frozen unit-scale base logits
+    s_ref = torch.nn.Parameter(torch.tensor(init_temp))
+    topt = _torch_sgd([s_ref])
+
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    rng = np.random.default_rng(67)
+    for _ in range(6):
+        imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, len(classnames), (8,))
+        ours = float(t.forward_backward(
+            {"img": imgs, "label": labels, "n_real": 8})["loss"])
+
+        x = torch.from_numpy(
+            ((imgs.astype(np.float32) / 255.0 - mean) / std
+             ).transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            _, img_f, txt_f = ref_bm(x)
+        logits = s_ref.exp() * img_f @ txt_f.t()
+        loss = F.cross_entropy(logits, torch.from_numpy(labels))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        assert ours == pytest.approx(loss.item(), abs=2e-4)
+
+    s_ours = float(np.asarray(
+        t._models["scale_learner"]["params"]["scale"]))
+    assert s_ref.item() != pytest.approx(init_temp, abs=1e-4)
+    assert s_ours == pytest.approx(s_ref.item(), abs=1e-5)
