@@ -74,10 +74,19 @@ def export_torch_checkpoint(state_dict: Dict[str, Any], epoch: int,
         if str(v.dtype) == "bfloat16":
             import ml_dtypes  # noqa: F401  (registers the dtype)
             v = v.astype(np.float32)
+        # float leaves export as fp32 (the reference checkpoints are
+        # fp32/fp16 torch tensors); integer/bool leaves keep their dtype
+        # rather than silently becoming float tensors
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np.float32)
+        elif not (np.issubdtype(v.dtype, np.integer)
+                  or v.dtype == np.bool_):
+            raise TypeError(
+                f"export_torch_checkpoint: unexpected dtype {v.dtype} "
+                f"for leaf {k!r}")
         # .copy() (not ascontiguousarray, which promotes 0-d scalars to
         # shape (1,)) keeps shapes exact and the buffer contiguous
-        sd[k.replace("/", ".")] = torch.from_numpy(
-            np.asarray(v, np.float32).copy())
+        sd[k.replace("/", ".")] = torch.from_numpy(v.copy())
     torch.save({"state_dict": sd, "epoch": int(epoch)}, dst_path)
     return dst_path
 

@@ -206,8 +206,13 @@ def main(argv=None) -> int:
 
     pred = build_predictor(args, classnames)
     res = getattr(pred, "cfg", None)
-    resolution = (res.image_resolution if res is not None
-                  else pred.trainer.clip_cfg.image_resolution)
+    if res is None:
+        # scaling trainers (TempScaling/PTS) expose clip_cfg by
+        # delegation to their wrapped base learner
+        res = getattr(pred.trainer, "clip_cfg", None)
+        if res is None:
+            res = pred.trainer.base.clip_cfg
+    resolution = res.image_resolution
     images = _load_images(paths, resolution, args.preprocess_on_device,
                           args)
     out = pred.predict(images)

@@ -93,6 +93,18 @@ class TempScaling(VLBaseLearner):
         self._base_fingerprint = self._fingerprint_base()
         self._fingerprint_checked = False
 
+    # the CLIP backbone lives on the wrapped base learner; delegating
+    # keeps scaling trainers interchangeable with product trainers for
+    # consumers that introspect the backbone (serve.py resolution lookup,
+    # export tooling)
+    @property
+    def clip_cfg(self):
+        return self.base.clip_cfg
+
+    @property
+    def clip_params(self):
+        return self.base.clip_params
+
     def _fingerprint_base(self) -> float:
         total = 0.0
         for name, slot in self.base._models.items():

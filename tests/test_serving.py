@@ -508,6 +508,43 @@ def test_serve_cli_coop_checkpoint(tmp_path):
     assert len(rows) == 1 and rows[0]["pred"] in BASE
 
 
+def test_serve_cli_tempscaling_checkpoint(tmp_path):
+    """main() end-to-end over a TempScaling checkpoint — the exact path
+    the CLI's --temperature error message directs users to. Exercises
+    the resolution lookup on a scaling trainer (clip_cfg lives on the
+    wrapped base learner, exposed by delegation)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from clip_calibration_tpu.serve import main
+    from clip_calibration_tpu.serving import build_serving_trainer
+
+    opts = ["CALIBRATION.SCALING.BASE_LEARNER", "CoOp",
+            "CALIBRATION.SCALING.BASE_DIR", osp.join(FIX, "coop_model"),
+            "CALIBRATION.SCALING.BASE_EPOCH", "3",
+            "TRAINER.COOP.N_CTX", "4", "INPUT.SIZE", "(32, 32)",
+            "MODEL.PRECISION", "fp32", "TRAINER.COOP.PREC", "fp32"]
+    fitted = build_serving_trainer(BASE, trainer_name="TempScaling",
+                                   backbone="ViT-Test", opts=opts)
+    fitted._models["scale_learner"]["params"]["scale"] = jnp.asarray(
+        np.log(2.5), jnp.float32)
+    ck = str(tmp_path / "calibrated")
+    fitted.save_model(0, ck)
+
+    rng = np.random.default_rng(9)
+    img = tmp_path / "one.png"
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                 dtype=np.uint8)).save(str(img))
+    out = str(tmp_path / "preds.jsonl")
+    rc = main(["--backbone", "ViT-Test", "--classnames", *BASE,
+               "--images", str(img), "--out", out,
+               "--checkpoint-dir", ck, "--trainer", "TempScaling",
+               "--epoch", "1", "--precision", "fp32", *opts])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in open(out)]
+    assert len(rows) == 1 and rows[0]["pred"] in BASE
+
+
 def test_serve_cli_trainer_path_flag_guards(tmp_path, monkeypatch):
     """Flags the trainer-checkpoint path cannot honor must fail loudly,
     and --mesh must translate into TPU.MESH_SHAPE (data-parallel serving

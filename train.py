@@ -186,7 +186,12 @@ def main(args):
     print_args(args, cfg)
 
     if args.eval_only:
-        trainer.load_model(args.model_dir, epoch=cfg.OPTIM.MAX_EPOCH)
+        # the reference hardcodes MAX_EPOCH here (reference train.py:350),
+        # ignoring --load-epoch; we honor --load-epoch when given so the
+        # evaluated snapshot and any exported checkpoint are the same one
+        eval_epoch = (args.load_epoch if args.load_epoch is not None
+                      else cfg.OPTIM.MAX_EPOCH)
+        trainer.load_model(args.model_dir, epoch=eval_epoch)
         trainer.test()
         if args.export_reference_checkpoints:
             # eval-only: the checkpoints live in --model-dir, not the
@@ -195,7 +200,7 @@ def main(args):
             src = args.model_dir or cfg.OUTPUT_DIR
             trainer.export_reference_checkpoint(
                 src, osp.join(cfg.OUTPUT_DIR, "reference_export"),
-                epoch=args.load_epoch)
+                epoch=eval_epoch)
         return
 
     if not args.no_train:
