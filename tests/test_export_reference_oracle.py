@@ -498,3 +498,382 @@ def test_proda_export_runs_in_reference_stack(tmp_path, monkeypatch):
             x.transpose(0, 3, 1, 2)))[0].numpy()
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: the remaining trainable families + TempScaling's
+# calibrated checkpoint, completing the 11/11 export-oracle matrix.
+# ---------------------------------------------------------------------------
+
+def _backbone_pair(tmp_path, monkeypatch, seed):
+    """Reference torch CLIP at ViT-Test dims whose weights are shipped to
+    our loader over the npz route (keeps the preset's 4 heads — the .pt
+    route would infer width//64 = 1 head, reference ``clip/model.py:668``).
+    Returns the reference model; CLIP_CHECKPOINT_DIR points at the npz."""
+    import torch
+
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.weights import (convert_torch_clip,
+                                                     save_params)
+
+    ref_model_mod = _load_standalone("ref_clip_model", "clip/model.py")
+    torch.manual_seed(seed)
+    vanilla = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+               "vision_ctx": 0, "language_ctx": 0}
+    ref_clip = ref_model_mod.CLIP(32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+                                  design_details=vanilla).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    params, _ = convert_torch_clip(sd, "float32",
+                                   cfg=M.PRESETS["ViT-Test"])
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    save_params(str(wdir / "ViT-Test.npz"), params)
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", str(wdir))
+    return ref_model_mod, ref_clip
+
+
+def _export_state(t, tmp_path):
+    """save_model -> export_reference_checkpoint -> torch state dict."""
+    import torch
+    native = str(tmp_path / "native")
+    t.save_model(0, native)
+    exported = str(tmp_path / "exported")
+    paths = t.export_reference_checkpoint(native, exported, epoch=1)
+    state = torch.load(paths[0], map_location="cpu",
+                       weights_only=False)["state_dict"]
+    return state, paths
+
+
+def _assert_logits_match(t, ref_forward, seed, n=5):
+    """Same uint8 images through both stacks at fp32."""
+    import torch
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+    mean = np.asarray(t.cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(t.cfg.INPUT.PIXEL_STD, np.float32)
+    x = (images.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        theirs = ref_forward(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    if isinstance(theirs, tuple):
+        theirs = theirs[0]
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def _neutralize_cuda(monkeypatch):
+    import torch
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self)
+
+
+def test_coop_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """CoOp (the whole CoOp-family checkpoint layout: a bare ``ctx``
+    under ``prompt_learner/``, reference ``coop.py:262``) consumed by the
+    reference's own CustomCLIP."""
+    _, ref_clip = _backbone_pair(tmp_path, monkeypatch, seed=5)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CoOp", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT="", PREC="fp32"))
+    state, _ = _export_state(t, tmp_path)
+
+    ref_coop = _load_ref_trainer_module(
+        "trainers/classification/coop.py", "trainers.classification.coop")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(COOP=_cfg_ns(N_CTX=4, CTX_INIT="", CSC=False,
+                                     CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_coop.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                                 ref_clip).eval()
+    for k in ("token_prefix", "token_suffix"):
+        state.pop(k, None)
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []
+    assert "ctx" not in result.missing_keys
+    _assert_logits_match(t, ref_cc, seed=5)
+
+
+def test_kgcoop_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """KgCoOp: shares CoOp's checkpoint layout but with the CTX_INIT=True
+    -> "a photo of a" embedding init (reference ``kgcoop.py:102-107``).
+    The reference PromptLearner builds a frozen zero-shot teacher in its
+    constructor (``kgcoop.py:151-165``) — load_clip_to_cpu is patched to
+    the shared backbone and CUDA neutralized for the CPU oracle."""
+    import copy
+    _, ref_clip = _backbone_pair(tmp_path, monkeypatch, seed=6)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "KgCoOp", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT=True, PREC="fp32", W=8.0))
+    state, _ = _export_state(t, tmp_path)
+
+    _neutralize_cuda(monkeypatch)
+    ref_kg = _load_ref_trainer_module(
+        "trainers/classification/kgcoop.py",
+        "trainers.classification.kgcoop")
+    monkeypatch.setattr(ref_kg, "load_clip_to_cpu",
+                        lambda cfg: copy.deepcopy(ref_clip))
+    monkeypatch.setitem(ref_kg.CUSTOM_TEMPLATES, "Synthetic",
+                        "a photo of a {} pattern.")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(KGCOOP=_cfg_ns(N_CTX=4, CTX_INIT=True, CSC=False,
+                                       CLASS_TOKEN_POSITION="end", W=8.0)),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"),
+        MODEL=_cfg_ns(BACKBONE=_cfg_ns(NAME="ViT-Test")))
+    ref_cc = ref_kg.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                               ref_clip).eval()
+    for k in ("token_prefix", "token_suffix"):
+        state.pop(k, None)
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []
+    assert "ctx" not in result.missing_keys
+    _assert_logits_match(t, ref_cc, seed=6)
+
+
+def test_prograd_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """ProGrad: CoOp layout with its own PromptLearner (reference
+    ``prograd.py:76-160``); random-init branch on both sides (the
+    template-tail CTX_INIT branch mangles templates that don't end in
+    " {}." — reference ``prograd.py:89-90`` — so the oracle pins the
+    CSC=False/end-position random path its fewshot configs use)."""
+    _, ref_clip = _backbone_pair(tmp_path, monkeypatch, seed=7)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "ProGrad", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX=4, CTX_INIT=False, PREC="fp32"))
+    state, _ = _export_state(t, tmp_path)
+
+    _neutralize_cuda(monkeypatch)
+    ref_pg = _load_ref_trainer_module(
+        "trainers/classification/prograd.py",
+        "trainers.classification.prograd")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(PROGRAD=_cfg_ns(N_CTX=4, CTX_INIT="", CSC=False,
+                                        CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"))
+    ref_cc = ref_pg.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                               ref_clip).eval()
+    for k in ("token_prefix", "token_suffix"):
+        state.pop(k, None)
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []
+    assert "ctx" not in result.missing_keys
+    _assert_logits_match(t, ref_cc, seed=7)
+
+
+def test_vpt_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """VPT: the trainables live INSIDE the reference vision tower
+    (``image_encoder.VPT`` + per-layer ``resblocks.N.VPT_shallow``,
+    design ``vpt.py:34-41``); the reference registers the whole
+    CustomCLIP under "prompt_learner" (``vpt.py:162``), so the export is
+    a whole-model state dict. Fixed text embeddings are recomputed from
+    classnames on both sides."""
+    import torch
+    ref_model_mod, ref_vanilla = _backbone_pair(tmp_path, monkeypatch,
+                                                seed=8)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "VPT", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32"},
+        trainer_cfg=dict(N_CTX_VISION=2, PROMPT_DEPTH_VISION=2,
+                         PREC="fp32"))
+    state, _ = _export_state(t, tmp_path)
+
+    # vanilla backbone weights into a VPT-design reference CLIP (the
+    # in-tower prompt params are extra; the export overrides every one)
+    vpt_design = {"trainer": "VPT", "vision_depth": 2, "vision_ctx": 2,
+                  "language_depth": 0, "language_ctx": 0}
+    torch.manual_seed(80)
+    ref_vpt_clip = ref_model_mod.CLIP(
+        32, 32, 2, 64, 8, 77, 49408, 64, 4, 2,
+        design_details=vpt_design).float().eval()
+    res = ref_vpt_clip.load_state_dict(ref_vanilla.state_dict(),
+                                       strict=False)
+    assert res.unexpected_keys == []  # vanilla ⊂ VPT design
+
+    _neutralize_cuda(monkeypatch)
+    ref_vpt = _load_ref_trainer_module(
+        "trainers/classification/vpt.py", "trainers.classification.vpt")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(VPT=_cfg_ns(N_CTX_VISION=2,
+                                    PROMPT_DEPTH_VISION=2)),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_vpt.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                                ref_vpt_clip).float().eval()
+
+    assert {"image_encoder.VPT",
+            "image_encoder.transformer.resblocks.1.VPT_shallow"
+            } <= set(state)
+    result = ref_cc.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []
+    _assert_logits_match(t, ref_cc, seed=8)
+
+
+def test_taskres_export_runs_in_reference_stack(tmp_path, monkeypatch):
+    """TaskRes: ``text_feature_residuals`` consumed by the reference's
+    TaskResLearner (``taskres.py:96-106``); base text features are
+    recomputed from the dataset template on both sides, and the residual
+    is perturbed from its zero init so the gate is not vacuous."""
+    import jax
+    import jax.numpy as jnp
+    _, ref_clip = _backbone_pair(tmp_path, monkeypatch, seed=9)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "TaskRes", tmp_path / "data", output_dir=tmp_path / "out",
+        # the config node is cfg.TRAINER.TaskRes (mixed case, matching
+        # the reference), so dotted overrides instead of trainer_cfg
+        overrides={"MODEL.PRECISION": "fp32",
+                   "TRAINER.TaskRes.PREC": "fp32",
+                   "TRAINER.TaskRes.RESIDUAL_SCALE": 0.5,
+                   "TRAINER.TaskRes.ENHANCED_BASE": "none"})
+    slot = t._models["taskres_learner"]
+    slot["params"]["residual"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), slot["params"]["residual"].shape,
+        jnp.float32)
+    state, _ = _export_state(t, tmp_path)
+
+    _neutralize_cuda(monkeypatch)
+    _load_ref_trainer_module(
+        "trainers/classification/imagenet_templates.py",
+        "trainers.classification.imagenet_templates")
+    ref_tr = _load_ref_trainer_module(
+        "trainers/classification/taskres.py",
+        "trainers.classification.taskres")
+    monkeypatch.setitem(ref_tr.CUSTOM_TEMPLATES, "Synthetic",
+                        "a photo of a {} pattern.")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(TaskRes=_cfg_ns(RESIDUAL_SCALE=0.5,
+                                        ENHANCED_BASE="none")),
+        INPUT=_cfg_ns(SIZE=(32, 32)),
+        DATASET=_cfg_ns(NAME="Synthetic"))
+    ref_cc = ref_tr.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                               ref_clip).eval()
+    assert set(state) == {"text_feature_residuals"}
+    result = ref_cc.prompt_learner.load_state_dict(state, strict=False)
+    assert result.unexpected_keys == []
+    assert result.missing_keys == ["base_text_features"]
+    _assert_logits_match(t, ref_cc, seed=9)
+
+
+def test_clip_adapter_export_runs_in_reference_stack(tmp_path,
+                                                     monkeypatch):
+    """CLIP-Adapter: bias-free fc.0/fc.2 Linears under ``adapter/``
+    (reference ``clip_adapter.py:141-151,230``). The reference hardcodes
+    Adapter(512) for ViT-B/16 (``clip_adapter.py:163``); the oracle
+    instantiates the reference's own Adapter class at the ViT-Test embed
+    dim instead."""
+    _, ref_clip = _backbone_pair(tmp_path, monkeypatch, seed=10)
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "CLIP_Adapter", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"MODEL.PRECISION": "fp32",
+                   "TRAINER.COOP.PREC": "fp32"},
+        trainer_cfg=dict(CTX_INIT="a photo of a", RATIO=0.2))
+    state, _ = _export_state(t, tmp_path)
+
+    _neutralize_cuda(monkeypatch)
+    ref_ca = _load_ref_trainer_module(
+        "trainers/classification/clip_adapter.py",
+        "trainers.classification.clip_adapter")
+    cfg = _cfg_ns(
+        TRAINER=_cfg_ns(
+            CLIP_ADAPTER=_cfg_ns(CTX_INIT="a photo of a", RATIO=0.2),
+            COOP=_cfg_ns(N_CTX=4, CLASS_TOKEN_POSITION="end")),
+        INPUT=_cfg_ns(SIZE=(32, 32)))
+    ref_cc = ref_ca.CustomCLIP(cfg, list(t.dm.dataset.classnames),
+                               ref_clip).eval()
+    ref_cc.adapter = ref_ca.Adapter(32, 4).float().eval()
+
+    assert set(state) == {"fc.0.weight", "fc.2.weight"}
+    ref_cc.adapter.load_state_dict(state, strict=True)
+    _assert_logits_match(t, ref_cc, seed=10)
+
+
+def test_tempscaling_calibrated_export_loads_in_reference_loader(
+        tmp_path, monkeypatch):
+    """TempScaling's ``model-calibrated.pth.tar-N`` export driven through
+    the reference's OWN ``TempScaling.load_model`` key surgery
+    (``tempscaling.py:260-301``: ``<dir>/tempscaling/model-calibrated.
+    pth.tar-<N>``, strict=True into its ScaleLearner whose parameter is
+    ``logit_scale``), then the loaded learner's temperature math checked
+    against our serving logits."""
+    import torch
+
+    from helpers import build_synthetic_trainer
+    t = build_synthetic_trainer(
+        "TempScaling", tmp_path / "data", output_dir=tmp_path / "out",
+        overrides={"CALIBRATION.SCALING.BASE_LEARNER": "CoOp",
+                   "MODEL.PRECISION": "fp32",
+                   "TRAINER.COOP.PREC": "fp32",
+                   "TRAINER.COOP.N_CTX": 4})
+    import jax.numpy as jnp
+    t._models["scale_learner"]["params"]["scale"] = jnp.asarray(
+        np.log(2.5), jnp.float32)
+    state, paths = _export_state(t, tmp_path)
+    assert set(state) == {"logit_scale"}
+    assert paths[0].endswith(
+        osp.join("tempscaling", "model-calibrated.pth.tar-1"))
+
+    # reference module: extend the dassl/trainers stubs with the names
+    # its calibration-side import list pulls in
+    _load_ref_trainer_module(
+        "trainers/classification/imagenet_templates.py",
+        "trainers.classification.imagenet_templates")  # base stubs
+    utils = sys.modules["dassl.utils"]
+    for n in ("MetricMeter", "AverageMeter", "tolist_if_not",
+              "count_num_param", "save_checkpoint", "mkdir_if_missing",
+              "resume_from_checkpoint"):
+        if not hasattr(utils, n):
+            setattr(utils, n, lambda *a, **k: None)
+    if "dassl.data" not in sys.modules:
+        data = types.ModuleType("dassl.data")
+        data.DataManager = object
+        sys.modules["dassl.data"] = data
+    if "trainers.calibration" not in sys.modules:
+        tc = types.ModuleType("trainers.calibration")
+        tc.__path__ = []
+        sys.modules["trainers.calibration"] = tc
+    if "trainers.calibration.basemodel_loader" not in sys.modules:
+        bm = types.ModuleType("trainers.calibration.basemodel_loader")
+        bm.get_base_model = lambda *a, **k: None
+        sys.modules["trainers.calibration.basemodel_loader"] = bm
+    ref_ts = _load_standalone("ref_tempscaling",
+                              "trainers/calibration/tempscaling.py")
+    # the reference's load_checkpoint comes from dassl; give it the real
+    # torch deserialization it wraps
+    monkeypatch.setattr(
+        ref_ts, "load_checkpoint",
+        lambda p: torch.load(p, map_location="cpu", weights_only=False))
+
+    learner = ref_ts.ScaleLearner(None, torch.float32)
+    stub = types.SimpleNamespace(
+        _models={"tempscaling": learner},
+        get_model_names=lambda: ["tempscaling"])
+    exported_dir = osp.dirname(osp.dirname(paths[0]))
+    ref_ts.TempScaling.load_model(stub, exported_dir, epoch=1)
+
+    # the loaded ScaleLearner reproduces our fitted temperature...
+    with torch.no_grad():
+        assert abs(float(learner()) - 2.5) < 1e-6
+    # ...and composes to the same tempered logits the reference's
+    # CustomCLIPCalibration would produce (scale * unit-cosine,
+    # tempscaling.py:44-59) == our TempScaling.model_inference
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(t.model_inference(images)[0], np.float32)
+    cos, _, _ = t._unit_logits(images)
+    with torch.no_grad():
+        theirs = (learner() * torch.from_numpy(cos)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
