@@ -70,6 +70,12 @@ def get_cfg_default() -> CN:
     # runs; the train loader never drafts (RandomResizedCrop would
     # upsample low-detail crops — data/loader.py)
     cfg.DATALOADER.JPEG_DRAFT = False
+    # decoded-image RAM cache for the train/val loaders (MB; 0 = off).
+    # Batches are bit-identical either way — the cache holds post-decode
+    # RGB arrays, the random crop/flip still runs per epoch — so it is
+    # ON by default, sized for the few-shot protocol's ~1.6k images
+    # (data/loader.py::DataLoader._decoded; inserts stop at the cap)
+    cfg.DATALOADER.DECODE_CACHE_MB = 512
     cfg.DATALOADER.TRAIN_X = CN()
     cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 32

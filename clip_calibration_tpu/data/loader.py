@@ -62,7 +62,8 @@ class DataLoader:
     def __init__(self, data_source: Sequence[Datum], batch_size: int,
                  transform: Callable, is_train: bool,
                  num_workers: int = 4, seed: int = 0,
-                 pad_partial: bool = True, draft_size: int = 0):
+                 pad_partial: bool = True, draft_size: int = 0,
+                 cache_mb: int = 0):
         self.data_source = list(data_source)
         self.batch_size = batch_size
         self.transform = transform
@@ -72,6 +73,18 @@ class DataLoader:
         self.pad_partial = pad_partial
         self.draft_size = draft_size
         self.epoch = 0
+        # decoded-image RAM cache (DATALOADER.DECODE_CACHE_MB): the
+        # protocol is 200 epochs over a ~1.6k-image few-shot set, so
+        # re-paying JPEG decode every epoch is pure waste. Post-decode
+        # RGB uint8 arrays are cached across epochs; the RANDOM part of
+        # the pipeline (RandomResizedCrop/flip) still runs per epoch, so
+        # batches are bit-identical with the cache on or off
+        # (transforms.py converts to RGB before any geometry, and
+        # convert("RGB") is idempotent). Inserts stop at the size cap —
+        # no eviction; a partially warm cache still amortizes that slice.
+        self._cache = {} if cache_mb > 0 else None
+        self._cache_left = cache_mb * (1 << 20)
+        self._cache_lock = threading.Lock()
         # multi-host: every host iterates the SAME global epoch order and
         # batch boundaries (seeded shuffle is process-independent) but
         # decodes only its own slice of each global batch; ``n_real``
@@ -98,6 +111,25 @@ class DataLoader:
             rng.shuffle(idxs)
         return idxs
 
+    def _decoded(self, impath: str) -> Image.Image:
+        """Decoded source image, served from the RAM cache when on.
+
+        ``Image.fromarray`` wraps the cached array without copying;
+        every downstream PIL op allocates a new image, so the cached
+        bytes are never mutated."""
+        if self._cache is None:
+            return _load_image(impath, self.draft_size)
+        arr = self._cache.get(impath)
+        if arr is None:
+            img = _load_image(impath, self.draft_size).convert("RGB")
+            arr = np.asarray(img, np.uint8)
+            with self._cache_lock:
+                if impath not in self._cache \
+                        and arr.nbytes <= self._cache_left:
+                    self._cache[impath] = arr
+                    self._cache_left -= arr.nbytes
+        return Image.fromarray(arr)
+
     def _make_batch(self, pool, idxs, b):
         bs = self.batch_size
         chunk = idxs[b * bs:(b + 1) * bs]
@@ -117,8 +149,7 @@ class DataLoader:
             pb = bs // self.world
             items = items[self.rank * pb:(self.rank + 1) * pb]
         imgs = list(pool.map(
-            lambda it: self.transform(
-                _load_image(it.impath, self.draft_size)), items))
+            lambda it: self.transform(self._decoded(it.impath)), items))
         labels = np.asarray([it.label for it in items], np.int32)
         if self.world == 1 and not self.is_train and self.pad_partial \
                 and n_real < bs:
@@ -202,15 +233,23 @@ class DataManager:
         draft = (max(cfg.INPUT.SIZE)
                  if getattr(cfg.DATALOADER, "JPEG_DRAFT", False) else 0)
 
+        # decoded-image cache for the loaders that replay across epochs:
+        # train (the 200-epoch few-shot protocol) and val (TempScaling
+        # re-points train_loader_x at it and iterates it every scaling
+        # epoch, plus best_val evals). The test loader runs once — no
+        # cache, no memory spent on it.
+        cache_mb = int(getattr(cfg.DATALOADER, "DECODE_CACHE_MB", 0))
+
         self.train_loader_x = DataLoader(
             self.dataset.train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-            tfm_train, is_train=True, num_workers=nw, seed=seed)
+            tfm_train, is_train=True, num_workers=nw, seed=seed,
+            cache_mb=cache_mb)
         self.val_loader = None
         if self.dataset.val:
             self.val_loader = DataLoader(
                 self.dataset.val, cfg.DATALOADER.TEST.BATCH_SIZE,
                 tfm_test, is_train=False, num_workers=nw, seed=seed,
-                draft_size=draft)
+                draft_size=draft, cache_mb=cache_mb)
         self.test_loader = DataLoader(
             self.dataset.test, cfg.DATALOADER.TEST.BATCH_SIZE,
             tfm_test, is_train=False, num_workers=nw, seed=seed,

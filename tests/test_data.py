@@ -362,3 +362,74 @@ def test_pixel_stats_honor_transforms_flag():
     normed = np.asarray(normalize_images(jnp.asarray(img), mean, std,
                                          dtype=jnp.float32))
     np.testing.assert_allclose(normed, (1.0 - 0.5) / 0.25)
+
+
+def test_decode_cache_identical_batches_and_no_redecodes(tmp_path,
+                                                         monkeypatch):
+    """DATALOADER.DECODE_CACHE_MB: batches must be bit-identical with the
+    cache on or off (the random crop/flip still runs per epoch, only the
+    deterministic decode is cached), warm epochs must not touch the
+    decoder, and the size cap must stop inserts without breaking
+    correctness."""
+    import clip_calibration_tpu.data.loader as L
+    from clip_calibration_tpu.data.base import set_random_seed
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(12):
+        p = str(tmp_path / f"im{i}.jpg")
+        # palette-ish content to also cover the convert("RGB") path
+        Image.fromarray(rng.integers(0, 256, (48, 40, 3),
+                                     dtype=np.uint8)).save(p, quality=90)
+        paths.append(p)
+    data = [Datum(impath=p, label=i % 3, classname=f"c{i % 3}")
+            for i, p in enumerate(paths)]
+
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                            "normalize")
+    tfm = build_transform(cfg, is_train=True)
+
+    def epochs(loader, n=2):
+        out = []
+        for e in range(n):
+            loader.set_epoch(e)
+            set_random_seed(7)  # transform RNG identical across runs
+            out.append([(b["img"].copy(), b["label"].copy())
+                        for b in loader])
+        return out
+
+    # num_workers=1: the transform draws from the GLOBAL random module,
+    # so multi-worker runs interleave draws nondeterministically (true
+    # with or without the cache); a single worker makes the two runs
+    # comparable draw-for-draw
+    plain = epochs(DataLoader(data, 4, tfm, is_train=True,
+                              num_workers=1, seed=5))
+
+    calls = []
+    real_load = L._load_image
+    monkeypatch.setattr(L, "_load_image",
+                        lambda p, d=0: calls.append(p) or real_load(p, d))
+    cached_loader = DataLoader(data, 4, tfm, is_train=True,
+                               num_workers=1, seed=5, cache_mb=64)
+    cached = epochs(cached_loader)
+    assert len(calls) == len(data)  # epoch 2 decoded nothing
+
+    for (pi, pl), (ci, cl) in zip(sum(plain, []), sum(cached, [])):
+        np.testing.assert_array_equal(pi, ci)
+        np.testing.assert_array_equal(pl, cl)
+
+    # cap: with room for only a few images, inserts stop but batches
+    # stay correct (48*40*3 = 5760 B/image; the MB knob can't express a
+    # sub-MB cap, so pin the byte budget directly)
+    calls.clear()
+    tiny = DataLoader(data, 4, tfm, is_train=True, num_workers=1,
+                      seed=5, cache_mb=64)
+    tiny._cache_left = 5760 * 3
+    capped = epochs(tiny)
+    assert 0 < len(tiny._cache) < len(data)
+    assert len(calls) > len(data)  # uncached files re-decoded in epoch 2
+    for (pi, pl), (ci, cl) in zip(sum(plain, []), sum(capped, [])):
+        np.testing.assert_array_equal(pi, ci)
+        np.testing.assert_array_equal(pl, cl)
