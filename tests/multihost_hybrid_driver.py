@@ -1,0 +1,124 @@
+"""Hybrid-mesh (data x model) driver, launched by test_multihost.py.
+
+Not a test file — a subprocess entry point. Joins a jax.distributed
+cluster when CC_COORD_ADDR is set (else runs single-process on virtual
+CPU devices), builds a (4, 2) "data" x "model" mesh, and runs:
+
+1. one CoCoOp train step + inference with the class-axis fan-out
+   sharding ACTIVE (``trainers/cocoop.py`` via
+   ``parallel/mesh.fanout_shardings``) over the real product trainer,
+2. a tensor-parallel serving encode (``parallel/tp.py::tower_tp``)
+   compared against the locally-computed unsharded encode.
+
+Prints one ``RESULT {json}`` line the test compares across ranks and
+against the single-process run. The reference has no multi-device
+model axis at all (``nn.DataParallel`` only, reference
+``trainers/classification/coop.py:268-272``).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from clip_calibration_tpu.parallel.mesh import (initialize_distributed,
+                                                make_mesh,
+                                                to_host_global)
+
+if os.environ.get("CC_COORD_ADDR"):
+    initialize_distributed()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def run_cocoop(root: str) -> dict:
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+    import clip_calibration_tpu.trainers  # noqa: F401 (registration)
+    import clip_calibration_tpu.data.datasets  # noqa: F401
+    import clip_calibration_tpu.evaluators.vl_evaluator  # noqa: F401
+    from clip_calibration_tpu.ops.preprocess import (CLIP_PIXEL_MEAN,
+                                                     CLIP_PIXEL_STD)
+
+    cfg = get_cfg_default()
+    cfg.TEST.EVALUATOR = "VLClassification"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.SEED = 1
+    cfg.OUTPUT_DIR = os.path.join(root, f"out_rank{jax.process_index()}")
+    cfg.MODEL.BACKBONE.NAME = "ViT-Test"
+    cfg.MODEL.PRECISION = "fp32"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.PIXEL_MEAN = list(CLIP_PIXEL_MEAN)
+    cfg.INPUT.PIXEL_STD = list(CLIP_PIXEL_STD)
+    # deterministic transform: the random-crop RNG draws depend on how
+    # many images THIS host decodes, so pixel equality across process
+    # counts requires the geometry-only pipeline (the sharding under
+    # test is unaffected)
+    cfg.INPUT.TRANSFORMS = ("normalize",)
+    cfg.TRAINER.NAME = "CoCoOp"
+    cfg.TRAINER.COCOOP.N_CTX = 2
+    cfg.TRAINER.COCOOP.PREC = "fp32"
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg.TPU.MESH_SHAPE = (4, 2)
+
+    trainer = TRAINER_REGISTRY.get("CoCoOp")(cfg)
+    if trainer._fanout is None:
+        raise RuntimeError("CoCoOp fan-out sharding inactive")
+    batch = next(iter(trainer.train_loader_x))
+    loss = float(trainer.forward_backward(batch)["loss"])
+    logits, _, _ = trainer.model_inference(batch["img"])
+    return {"loss": loss,
+            "logits": to_host_global(logits).astype(
+                np.float64).round(6).tolist()}
+
+
+def run_tp_encode() -> dict:
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.parallel.tp import tower_tp
+
+    # 2 vision heads (width 128) so the head sharding is a real split
+    ccfg = M.CLIPConfig(32, 32, 2, 128, 8, 64, 4, 2)
+    params = M.init_clip(jax.random.PRNGKey(2), ccfg, dtype=jnp.float32)
+    images = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 3),
+                               jnp.float32)
+    # the unsharded truth, computed locally on every process
+    single = np.asarray(jax.jit(lambda p, x: M.encode_image(
+        p, ccfg, x, dtype=jnp.float32))(params, images))
+
+    mesh = make_mesh((4, 2))
+    tp = tower_tp(mesh)
+    if tp is None:
+        raise RuntimeError("tower_tp inactive on a (4, 2) mesh")
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        out = jax.jit(
+            lambda p, x: M.encode_image(p, ccfg, x, dtype=jnp.float32,
+                                        tp=tp),
+            in_shardings=(repl, data_sh), out_shardings=repl)(
+            jax.device_put(params, repl),
+            jax.device_put(images, data_sh))
+        out.block_until_ready()
+    err = float(np.max(np.abs(np.asarray(out) - single)))
+    return {"tp_max_diff": err,
+            "tp_sum": round(float(np.abs(single).sum()), 4)}
+
+
+def main():
+    root = sys.argv[1]
+    res = run_cocoop(root)
+    res.update(run_tp_encode())
+    res["n_processes"] = jax.process_count()
+    print("RESULT " + json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
