@@ -50,6 +50,33 @@ def pts_log_scale(params, cos_logits: jnp.ndarray) -> jnp.ndarray:
     return params["s0"] + out[:, 0]
 
 
+def init_pts_params(k: int, nodes: int, n_layers: int, init_temp: float,
+                    seed: int = 0):
+    """PTS trainable pytree (shared by build_model and the property
+    tests). N_LAYERS hidden layers total: w_in provides the first, the
+    stacked mid layers the rest (PTS: nlayers hidden of N_NODES)."""
+    ks = jax.random.split(jax.random.PRNGKey(max(seed, 0)), n_layers + 2)
+
+    def lin(key, fan_in, fan_out):
+        lim = (1.0 / fan_in) ** 0.5
+        return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
+                                  -lim, lim)
+
+    n_mid = max(n_layers - 1, 0)
+    mid_ws = (jnp.stack([lin(ks[1 + i], nodes, nodes)
+                         for i in range(n_mid)])
+              if n_mid else jnp.zeros((0, nodes, nodes), jnp.float32))
+    return {
+        "s0": jnp.asarray(init_temp, jnp.float32),
+        "w_in": lin(ks[0], k, nodes),
+        "b_in": jnp.zeros((nodes,), jnp.float32),
+        "ws": mid_ws,
+        "bs": jnp.zeros((n_mid, nodes), jnp.float32),
+        "w_out": lin(ks[-1], nodes, 1) * 0.01,  # start near identity
+        "b_out": jnp.zeros((1,), jnp.float32),
+    }
+
+
 @TRAINER_REGISTRY.register()
 class ParameterizedTempScaling(TempScaling):
 
@@ -59,33 +86,11 @@ class ParameterizedTempScaling(TempScaling):
         cfg = self.cfg
         # fixed width (see pts_log_scale): checkpoints stay loadable
         # across base/new splits with different class counts
-        k = cfg.CALIBRATION.P_TS.TOP_K_LOGITS
-        nodes = cfg.CALIBRATION.P_TS.N_NODES
-        n_layers = cfg.CALIBRATION.P_TS.N_LAYERS
-        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
-        ks = jax.random.split(rng, n_layers + 2)
-
-        def lin(key, fan_in, fan_out):
-            lim = (1.0 / fan_in) ** 0.5
-            return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
-                                      -lim, lim)
-
-        # N_LAYERS hidden layers total: w_in provides the first, the
-        # stacked mid layers the rest (PTS: nlayers hidden of N_NODES)
-        n_mid = max(n_layers - 1, 0)
-        mid_ws = (jnp.stack([lin(ks[1 + i], nodes, nodes)
-                             for i in range(n_mid)])
-                  if n_mid else jnp.zeros((0, nodes, nodes), jnp.float32))
-        trainable = {
-            "s0": jnp.asarray(cfg.CALIBRATION.SCALING.INIT_TEMP,
-                              jnp.float32),
-            "w_in": lin(ks[0], k, nodes),
-            "b_in": jnp.zeros((nodes,), jnp.float32),
-            "ws": mid_ws,
-            "bs": jnp.zeros((n_mid, nodes), jnp.float32),
-            "w_out": lin(ks[-1], nodes, 1) * 0.01,  # start near identity
-            "b_out": jnp.zeros((1,), jnp.float32),
-        }
+        trainable = init_pts_params(
+            cfg.CALIBRATION.P_TS.TOP_K_LOGITS,
+            cfg.CALIBRATION.P_TS.N_NODES,
+            cfg.CALIBRATION.P_TS.N_LAYERS,
+            cfg.CALIBRATION.SCALING.INIT_TEMP, seed=cfg.SEED)
         # replace the scalar scale learner registered by TempScaling
         slot = self._models["scale_learner"]
         slot["params"] = trainable
