@@ -147,7 +147,8 @@ def _per_trainer_steps() -> dict:
     os.environ.setdefault("CC_SYNTH_TRAIN", "20")
     os.environ.setdefault("CC_SYNTH_VAL", "2")
     os.environ.setdefault("CC_SYNTH_TEST", "4")
-    sys.path.insert(0, "benchmarks")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     import bench_trainers as bt
 
     sweep = ("CoOp", "CoCoOp", "KgCoOp", "MaPLe", "ProDA", "ProGrad",

@@ -64,8 +64,9 @@ def bench_one(name: str, root: str):
     config_file, extra = PROTOCOL[name]
     args = build_parser().parse_args(
         ["--root", root, "--trainer", name, "--seed", "1",
-         "--dataset-config-file", "configs/datasets/synthetic.yaml",
-         "--config-file", config_file,
+         "--dataset-config-file",
+         osp.join(REPO, "configs/datasets/synthetic.yaml"),
+         "--config-file", osp.join(REPO, config_file),
          "--output-dir", f"/tmp/bench_trainers/{name}",
          "TEST.NO_TEST", "True", "DATASET.NUM_SHOTS", "16"] + extra)
     cfg = setup_cfg(args)
