@@ -33,7 +33,7 @@ import regex as re
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_BPE_PATH = os.path.join(
-    _HERE, "..", "..", "assets", "bpe_simple_vocab_16e6.txt.gz")
+    _HERE, "..", "assets", "bpe_simple_vocab_16e6.txt.gz")
 
 SOT_TOKEN = "<|startoftext|>"
 EOT_TOKEN = "<|endoftext|>"

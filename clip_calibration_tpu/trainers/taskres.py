@@ -165,8 +165,8 @@ class TaskRes(VLBaseLearner):
                 and np.asarray(res).shape[0] == 1000:
             import json
             import os.path as osp
-            asset = osp.join(osp.dirname(osp.dirname(osp.dirname(
-                osp.abspath(__file__)))), "assets",
+            asset = osp.join(osp.dirname(osp.dirname(
+                osp.abspath(__file__))), "assets",
                 "imagenet_a_r_indexes.json")
             with open(asset) as f:
                 key = "imagenet_a" if ds == "ImageNetA" else "imagenet_r"

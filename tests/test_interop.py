@@ -100,7 +100,7 @@ def test_taskres_ar_subsetting():
     got = np.asarray(t._models["taskres_learner"]["params"]["residual"])
     assert got.shape == (200, 16)
     import json
-    idx = json.load(open(osp.join(REPO, "assets",
+    idx = json.load(open(osp.join(REPO, "clip_calibration_tpu", "assets",
                                   "imagenet_a_r_indexes.json")))
     np.testing.assert_allclose(got[:, 0], np.asarray(idx["imagenet_a"],
                                                      np.float32))
