@@ -48,7 +48,7 @@ def vit_encode_flops(cfg: M.CLIPConfig) -> float:
     return float(cfg.vision_layers * per_layer + stem + head)
 
 
-def main():
+def main(trainers=None):
     dev = jax.devices()[0]
     cfg = M.PRESETS["ViT-B/16"]
     params = M.init_clip(jax.random.PRNGKey(0), cfg)
@@ -103,10 +103,8 @@ def main():
     # workload ("calibration without sacrificing the inference speed",
     # reference README.md:7)
     eval_ips = _eval_pipeline_throughput()
-    # per-trainer protocol step times (the fewshot-sweep budgets) so the
-    # round-over-round packing/fusion wins live in the archived artifact,
-    # not just docs tables
-    trainers = _per_trainer_steps()
+    if trainers is None:
+        trainers = {"skipped": True}
 
     print(json.dumps({
         "metric": "vit_b16_image_encode_throughput",
@@ -135,43 +133,52 @@ def _per_trainer_steps() -> dict:
     """ms/step + img/s for the 7 fewshot-sweep trainers at the
     reference's protocol budgets (``run/calibration/fewshot_scaling.sh:
     32-59``), through the real registry/config/train-step path
-    (``benchmarks/bench_trainers.py``). Each trainer is isolated:
-    a failure records an error entry instead of killing the contract
-    line. Skippable with BENCH_SKIP_TRAINERS=1 (halves bench wall time
-    when only the headline metric is wanted)."""
+    (``benchmarks/bench_trainers.py --json``).
+
+    Runs in ONE SUBPROCESS with a hard wall-clock budget, BEFORE this
+    process initializes the TPU backend: a tunnel stall mid-sweep then
+    costs only the sweep (partial per-trainer lines are kept from the
+    killed child), never the headline metrics — and the tunnel's
+    one-client constraint is respected because ownership is strictly
+    sequential (child exits/killed before the parent's first device
+    query). Skippable with BENCH_SKIP_TRAINERS=1."""
     import os
+    import os.path as osp
+    import subprocess
     import sys
     if os.environ.get("BENCH_SKIP_TRAINERS"):
         return {"skipped": True}
-    os.environ.setdefault("CC_SYNTH_CLASSES", "100")
-    os.environ.setdefault("CC_SYNTH_TRAIN", "20")
-    os.environ.setdefault("CC_SYNTH_VAL", "2")
-    os.environ.setdefault("CC_SYNTH_TEST", "4")
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-    import bench_trainers as bt
-
-    sweep = ("CoOp", "CoCoOp", "KgCoOp", "MaPLe", "ProDA", "ProGrad",
-             "PromptSRC")
-    root = os.environ.get("BENCH_ROOT", "/tmp/bench_trainers_data")
-    # wall-clock budget: the headline metrics must land in the archived
-    # line even if tunnel-paced trainer builds run long — remaining
-    # trainers are marked skipped instead of risking the driver timeout
+    env = dict(os.environ)
+    env.setdefault("CC_SYNTH_CLASSES", "100")
+    env.setdefault("CC_SYNTH_TRAIN", "20")
+    env.setdefault("CC_SYNTH_VAL", "2")
+    env.setdefault("CC_SYNTH_TEST", "4")
     budget_s = float(os.environ.get("BENCH_TRAINER_BUDGET_S", "1500"))
-    t_start = time.perf_counter()
+    script = osp.join(osp.dirname(osp.abspath(__file__)), "benchmarks",
+                      "bench_trainers.py")
+    sweep = ["CoOp", "CoCoOp", "KgCoOp", "MaPLe", "ProDA", "ProGrad",
+             "PromptSRC"]
+    try:
+        r = subprocess.run(
+            [sys.executable, script, "--json"] + sweep, env=env,
+            timeout=budget_s, capture_output=True, text=True)
+        stdout, timed_out = r.stdout or "", False
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout.decode() if isinstance(e.stdout, bytes)
+                  else e.stdout) or ""
+        timed_out = True
     out = {}
-    for name in sweep:
-        if time.perf_counter() - t_start > budget_s:
-            out[name] = {"skipped": "trainer-sweep budget exhausted"}
-            continue
+    for line in stdout.splitlines():
         try:
-            ms, ips, bs = bt.bench_one(name, root)
-            out[name] = {"ms_per_step": round(ms, 2),
-                         "images_per_s": round(ips, 1), "batch": bs}
-        except Exception as e:  # record, keep the sweep going
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"trainer bench {name} failed: {e}", file=sys.stderr,
-                  flush=True)
+            row = json.loads(line)
+        except ValueError:
+            continue
+        name = row.pop("trainer", None)
+        if name:
+            out[name] = row
+    for name in sweep:
+        out.setdefault(name, {"skipped": "trainer-sweep budget "
+                              "exhausted" if timed_out else "no result"})
     return out
 
 
@@ -308,7 +315,10 @@ def _wait_for_device(attempts: int = 4, probe_timeout: int = 240,
 
 if __name__ == "__main__":
     if _wait_for_device():
-        main()
+        # trainer sweep first (own subprocess, own TPU ownership window,
+        # hard budget) so a mid-sweep tunnel stall cannot take the
+        # headline metrics down with it
+        main(trainers=_per_trainer_steps())
     else:
         print(json.dumps({
             "metric": "vit_b16_image_encode_throughput",

@@ -101,17 +101,34 @@ def bench_one(name: str, root: str):
 
 
 def main():
-    names = sys.argv[1:] or list(PROTOCOL)
+    import json
+    args = sys.argv[1:]
+    as_json = "--json" in args
+    names = [a for a in args if a != "--json"] or list(PROTOCOL)
     root = os.environ.get("BENCH_ROOT", "/tmp/bench_trainers_data")
-    print(f"{'trainer':<14} {'batch':>5} {'ms/step':>9} {'img/s':>8}")
+    if not as_json:
+        print(f"{'trainer':<14} {'batch':>5} {'ms/step':>9} {'img/s':>8}")
     for name in names:
         try:
             ms, ips, bs = bench_one(name, root)
-            print(f"{name:<14} {bs:>5} {ms:>9.1f} {ips:>8.0f}",
-                  flush=True)
+            if as_json:
+                # one flushed line per trainer: a killed-on-budget run
+                # still hands its completed trainers to bench.py
+                print(json.dumps({"trainer": name,
+                                  "ms_per_step": round(ms, 2),
+                                  "images_per_s": round(ips, 1),
+                                  "batch": bs}), flush=True)
+            else:
+                print(f"{name:<14} {bs:>5} {ms:>9.1f} {ips:>8.0f}",
+                      flush=True)
         except Exception as e:  # keep the sweep going
-            print(f"{name:<14} FAILED: {type(e).__name__}: {e}",
-                  flush=True)
+            if as_json:
+                print(json.dumps({
+                    "trainer": name,
+                    "error": f"{type(e).__name__}: {e}"}), flush=True)
+            else:
+                print(f"{name:<14} FAILED: {type(e).__name__}: {e}",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -207,11 +207,9 @@ def main(argv=None) -> int:
     pred = build_predictor(args, classnames)
     res = getattr(pred, "cfg", None)
     if res is None:
-        # scaling trainers (TempScaling/PTS) expose clip_cfg by
-        # delegation to their wrapped base learner
-        res = getattr(pred.trainer, "clip_cfg", None)
-        if res is None:
-            res = pred.trainer.base.clip_cfg
+        # every trainer exposes clip_cfg — scaling trainers
+        # (TempScaling/PTS) by delegation to their wrapped base learner
+        res = pred.trainer.clip_cfg
     resolution = res.image_resolution
     images = _load_images(paths, resolution, args.preprocess_on_device,
                           args)

@@ -181,12 +181,21 @@ class CustomizedDensityRatioCalibration:
     def __init__(self, mirror: bool = False, bandwidth: float = 0.1):
         self.mirror = mirror
         self.bandwidth = bandwidth
+        self.degenerate = False
 
     def fit(self, logits, preds, true, proximity) -> None:
         confs = np.max(_softmax(np.asarray(logits, np.float64)), axis=-1)
         preds = np.asarray(preds)
         true = np.asarray(true)
         correct = preds == true
+        # same degenerate-split guard as DensityRatioCalibration above:
+        # a 2-D KDE needs >= 2 samples per class for a finite covariance
+        self.degenerate = correct.sum() < 2 or (~correct).sum() < 2
+        if self.degenerate:
+            print("CustomizedDensityRatioCalibration: <2 correct or "
+                  "incorrect val samples; falling back to identity "
+                  "calibration")
+            return
         t = np.stack([confs[correct],
                       np.asarray(proximity, np.float64)[correct]], axis=1)
         f = np.stack([confs[~correct],
@@ -202,6 +211,8 @@ class CustomizedDensityRatioCalibration:
     def predict(self, logits, proximities) -> np.ndarray:
         logits = np.asarray(logits, np.float64)
         probs = _softmax(logits)
+        if self.degenerate:
+            return probs
         confs = np.max(probs, axis=-1)
         preds = np.argmax(probs, axis=-1)
         data = np.stack([confs,
@@ -224,6 +235,10 @@ class CustomizedDensityRatioCalibration:
         mask = np.ones_like(out, dtype=bool)
         mask[np.arange(len(out)), preds] = False
         out = out * mask
-        out = out * ((1 - conf_cal) / out.sum(axis=-1))[:, None]
+        # one-hot float64 rows have zero non-argmax mass — guard the
+        # division like DensityRatioCalibration.predict above
+        rest = out.sum(axis=-1)
+        rest[rest == 0] = 1.0
+        out = out * ((1 - conf_cal) / rest)[:, None]
         out[np.arange(len(out)), preds] = conf_cal
         return out
