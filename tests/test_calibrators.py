@@ -338,3 +338,36 @@ def test_customized_density_ratio_matches_reference(rng):
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12,
                                    err_msg=f"mirror={mirror}")
         np.testing.assert_allclose(got.sum(1), 1.0, atol=1e-8)
+
+
+def test_customized_density_ratio_degenerate_and_onehot(rng):
+    """Guards mirrored from DensityRatioCalibration: all-correct (or
+    all-wrong) val splits fall back to identity instead of NaN
+    covariances, and a one-hot float64 softmax row (zero non-argmax
+    mass) must not divide by zero."""
+    from clip_calibration_tpu.trainers.calibration.density_ratio import (
+        CustomizedDensityRatioCalibration)
+
+    n, c = 50, 4
+    logits = rng.normal(0, 1.0, (n, c))
+    preds = logits.argmax(1)
+    prox = rng.uniform(0.1, 0.9, n)
+
+    cal = CustomizedDensityRatioCalibration(mirror=True, bandwidth=0.1)
+    cal.fit(logits, preds, preds.copy(), prox)  # every sample correct
+    assert cal.degenerate
+    out = cal.predict(logits, prox)
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-8)
+    assert np.isfinite(out).all()
+
+    labels = rng.integers(0, c, n)
+    cal = CustomizedDensityRatioCalibration(mirror=False, bandwidth=0.1)
+    cal.fit(logits, preds, labels, prox)
+    onehot = logits.copy()
+    onehot[0, preds[0]] += 800.0  # exp underflow: one-hot in float64
+    out = cal.predict(onehot, prox)
+    assert np.isfinite(out).all()  # the guarded row: no 0/0 NaNs
+    # the one-hot row has zero redistributable mass, so it sums to its
+    # calibrated confidence (sibling-class semantics); the rest to 1
+    np.testing.assert_allclose(out[1:].sum(1), 1.0, atol=1e-8)
+    np.testing.assert_allclose(out[0].sum(), out[0, preds[0]], atol=1e-12)
