@@ -31,6 +31,41 @@ from ...parallel.mesh import to_host_global
 from ..base_learner import VLBaseLearner
 
 
+class _CachedCosReplay:
+    """Scaling-epoch replay shim around the sequential val loader.
+
+    Epoch 1 iterates the real loader (filling the trainer's per-batch
+    cosine-logit cache); once the cache holds a full epoch, later
+    epochs replay the cached batch KEYS directly — no JPEG decode, no
+    transform, no host->device image transfer. The val loader is
+    sequential and deterministic, so the cache's insertion order IS the
+    epoch order and the training trajectory is unchanged (the scale
+    step consumes only the cached cosine logits either way — the same
+    values the non-replay epochs would recompute)."""
+
+    def __init__(self, trainer, base):
+        self.trainer = trainer
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def set_epoch(self, epoch):
+        self.base.set_epoch(epoch)
+
+    @property
+    def replaying(self) -> bool:
+        cache = getattr(self.trainer, "_cos_cache", None)
+        return cache is not None and len(cache) >= len(self.base)
+
+    def __iter__(self):
+        if self.replaying:
+            for key in list(self.trainer._cos_cache.keys()):
+                yield {"impath": key, "n_real": len(key)}
+            return
+        yield from self.base
+
+
 @TRAINER_REGISTRY.register()
 class TempScaling(VLBaseLearner):
 
@@ -39,9 +74,17 @@ class TempScaling(VLBaseLearner):
         # calibrate on the validation split: the reference re-points
         # train_loader_x at the val loader itself (sequential, TEST batch
         # size) — deterministic batches also make the per-batch logit
-        # cache below effective across the scaling epochs
+        # cache below effective across the scaling epochs; the replay
+        # shim drops the host image pipeline entirely from epoch 2 on
         if self.val_loader is not None:
-            self.train_loader_x = self.val_loader
+            self.train_loader_x = _CachedCosReplay(self, self.val_loader)
+
+    def _device_staged(self, loader):
+        # cached-cos replay batches carry no images — nothing to stage
+        if getattr(loader, "replaying", False):
+            yield from loader
+            return
+        yield from super()._device_staged(loader)
 
     def build_model(self):
         cfg = self.cfg
@@ -138,7 +181,8 @@ class TempScaling(VLBaseLearner):
         grow unboundedly and never hit, so it is bypassed.
         """
         n = batch["n_real"]
-        if self.train_loader_x is not self.val_loader:
+        base = getattr(self.train_loader_x, "base", self.train_loader_x)
+        if base is not self.val_loader:
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
             return cos[:n], to_host_global(labels)[:n]

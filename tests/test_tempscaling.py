@@ -279,3 +279,55 @@ def _pts_step(params, st, opt, loss_fn):
     g = jax.grad(loss_fn)(params)
     up, st = opt.update(g, st, params)
     return optax.apply_updates(params, up), st
+
+
+def test_scaling_epochs_replay_cached_cos(tmp_path, monkeypatch):
+    """From epoch 2 the scaling loop replays the cached cosine logits:
+    ZERO image decodes, identical batch order, and a scale trajectory
+    identical to iterating the real val loader every epoch."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import clip_calibration_tpu.data.loader as L
+    from helpers import build_synthetic_trainer
+    from clip_calibration_tpu.trainers.calibration import tempscaling
+
+    def run(force_no_replay):
+        import jax
+        if force_no_replay:
+            monkeypatch.setattr(tempscaling._CachedCosReplay,
+                                "replaying", property(lambda self: False))
+        else:
+            monkeypatch.undo()
+        t = build_synthetic_trainer(
+            "TempScaling",
+            tmp_path / ("d1" if force_no_replay else "d0"),
+            output_dir=tmp_path / "out",
+            overrides={"CALIBRATION.SCALING.BASE_LEARNER": "CoOp",
+                       "MODEL.PRECISION": "fp32",
+                       "TRAINER.COOP.PREC": "fp32",
+                       "TRAINER.COOP.N_CTX": 4,
+                       # decode cache off so the plain run's per-epoch
+                       # decoder traffic is observable at _load_image
+                       "DATALOADER.DECODE_CACHE_MB": 0})
+        calls = []
+        real = L._load_image
+        monkeypatch.setattr(
+            L, "_load_image",
+            lambda p, d=0: calls.append(p) or real(p, d))
+        temps = []
+        for epoch in range(3):
+            t.train_loader_x.set_epoch(epoch)
+            if epoch == 1:
+                calls.clear()
+            for batch in t._device_staged(t.train_loader_x):
+                t.forward_backward(batch)
+            temps.append(float(np.exp(np.asarray(
+                t._models["scale_learner"]["params"]["scale"]))))
+        return temps, len(calls)
+
+    temps_replay, decodes_after_e1 = run(force_no_replay=False)
+    assert decodes_after_e1 == 0  # epochs 2-3 never touched the decoder
+    temps_plain, decodes_plain = run(force_no_replay=True)
+    assert decodes_plain > 0  # the non-replay loop decodes every epoch
+    np.testing.assert_allclose(temps_replay, temps_plain, rtol=1e-7)
