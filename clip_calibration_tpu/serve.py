@@ -196,10 +196,13 @@ def build_predictor(args, classnames):
 
 
 def main(argv=None) -> int:
-    from .tools.platform import cpu_platform_requested, force_cpu_platform
+    from .tools.platform import (cpu_platform_requested,
+                                 enable_compilation_cache,
+                                 force_cpu_platform)
     if cpu_platform_requested():
         # the axon TPU plugin ignores JAX_PLATFORMS (tools/platform.py)
         force_cpu_platform()
+    enable_compilation_cache()  # serving cold start skips recompiles
     args = build_parser().parse_args(argv)
     classnames = _classnames(args)
     paths = _image_paths(args.images)

@@ -51,3 +51,24 @@ def force_cpu_platform(n_devices: int | None = None):
 
     jax.config.update("jax_platforms", "cpu")
     return jax
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first TPU compile is 20-40s;
+    sweep scripts run hundreds of short processes that would each
+    re-pay it). Env vars win so a parent process (e.g. the test
+    suite's conftest) can point every spawned run at one shared cache.
+    Shared by train.py, the serving CLI and bench.py."""
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/clip_calibration_tpu/xla")))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 1)))
+    except Exception as e:  # older jax without the knobs
+        print(f"compilation cache unavailable: {e}")

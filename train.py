@@ -132,22 +132,9 @@ def main(args):
     set_attention_impl({"auto": "auto", "always": "pallas",
                         "never": "xla"}[cfg.TPU.USE_PALLAS])
 
-    # persistent XLA compilation cache (first TPU compile is 20-40s).
-    # Env vars win so a parent process (e.g. the test suite's conftest)
-    # can point every spawned run at one shared cache.
-    try:
-        import jax
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                os.path.expanduser("~/.cache/clip_calibration_tpu/xla")))
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs",
-            float(os.environ.get(
-                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 1)))
-    except Exception as e:  # older jax without the knobs
-        print(f"compilation cache unavailable: {e}")
+    from clip_calibration_tpu.tools.platform import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     # calibrator-combo log file naming (reference train.py:306-325)
     base_name = "log"
