@@ -49,6 +49,9 @@ def vit_encode_flops(cfg: M.CLIPConfig) -> float:
 
 
 def main(trainers=None):
+    from clip_calibration_tpu.tools.platform import (
+        enable_compilation_cache)
+    enable_compilation_cache()  # compiles dominate bench wall time
     dev = jax.devices()[0]
     cfg = M.PRESETS["ViT-B/16"]
     params = M.init_clip(jax.random.PRNGKey(0), cfg)

@@ -56,6 +56,9 @@ N_STAGED = 4  # distinct device batches cycled to defeat tunnel elision
 
 def bench_one(name: str, root: str):
     import jax
+    from clip_calibration_tpu.tools.platform import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from train import build_parser, setup_cfg
     from clip_calibration_tpu.engine.registry import build_trainer
     import clip_calibration_tpu.trainers  # noqa: F401 register
