@@ -35,6 +35,7 @@ import numpy as np
 
 from ..ops.attention import (causal_mask, layer_norm, multi_head_attention,
                              quick_gelu)
+from ..ops.quant import as_weight
 
 Params = Dict[str, Any]
 
@@ -282,12 +283,15 @@ def transformer(
             splice = _splice_text if text_side else _splice_vision
             h = jnp.where((idx > 0) & (idx < deep_prompt_depth),
                           splice(h, prompt, L), h)
+        # as_weight: plain arrays cast to the compute dtype; int8 serving
+        # pairs (ops/quant.py) dequantize here, per scanned layer slice
         h = h + multi_head_attention(
             layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
-            p["attn"]["wqkv"], p["attn"]["bqkv"],
-            p["attn"]["wo"], p["attn"]["bo"], n_heads, mask, tp=tp)
+            as_weight(p["attn"]["wqkv"], h.dtype), p["attn"]["bqkv"],
+            as_weight(p["attn"]["wo"], h.dtype), p["attn"]["bo"],
+            n_heads, mask, tp=tp)
         y = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
-        y = jnp.dot(y, p["mlp"]["w_fc"].astype(y.dtype)) \
+        y = jnp.dot(y, as_weight(p["mlp"]["w_fc"], y.dtype)) \
             + p["mlp"]["b_fc"].astype(y.dtype)
         if tp is not None:
             # Megatron split: hidden features over the model axis —
@@ -295,7 +299,7 @@ def transformer(
             # projection contracts the sharded dim (one psum)
             y = tp.shard_hidden(y)
         y = quick_gelu(y)
-        y = jnp.dot(y, p["mlp"]["w_proj"].astype(y.dtype)) \
+        y = jnp.dot(y, as_weight(p["mlp"]["w_proj"], y.dtype)) \
             + p["mlp"]["b_proj"].astype(y.dtype)
         return h + y, None
 
@@ -376,7 +380,8 @@ def encode_text_embedded(
     x = layer_norm(x, txt_p["ln_final"]["scale"],
                    txt_p["ln_final"]["bias"])
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
-    return jnp.dot(pooled, txt_p["text_projection"].astype(pooled.dtype))
+    return jnp.dot(pooled, as_weight(txt_p["text_projection"],
+                                     pooled.dtype))
 
 
 def eot_seq_len(tokens_or_eot) -> int:
@@ -455,7 +460,7 @@ def encode_image(
                                        images.astype(dtype))
     vp = params["visual"]
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
-    x = jnp.dot(x, vp["patch_kernel"].astype(x.dtype))
+    x = jnp.dot(x, as_weight(vp["patch_kernel"], x.dtype))
     cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype),
                            (x.shape[0], 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
@@ -471,7 +476,7 @@ def encode_image(
                     deep_prompt_depth=deep_prompt_depth, text_side=False,
                     tp=tp)
     x = layer_norm(x[:, 0], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
-    return jnp.dot(x, vp["proj"].astype(x.dtype))
+    return jnp.dot(x, as_weight(vp["proj"], x.dtype))
 
 
 # ---------------------------------------------------------------------------

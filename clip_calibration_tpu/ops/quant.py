@@ -1,0 +1,118 @@
+"""Weight-only int8 quantization for serving (beyond-reference).
+
+The reference serves fp16 at best (``/root/reference/clip/model.py:632-653``
+convert_weights); this module halves the serving HBM footprint and weight
+bandwidth instead: matmul weights are stored int8 with per-output-channel
+fp32 scales and dequantized *inside* the jit program right where each
+layer's slice is consumed. On TPU the weight read is the small-batch
+serving bottleneck (an image-encode at batch<=8 is HBM-bandwidth-bound,
+see docs/ROOFLINE.md), so int8 weights move the bandwidth roofline 2x;
+activations and accumulation stay bf16/fp32, so the numerics stay within
+a hair of the bf16 path (symmetric 127-step quantization per output
+channel; see tests/test_quant.py for the measured bounds).
+
+Design notes:
+- a quantized weight is the pytree leaf pair ``{"int8": q, "scale": s}``
+  with ``q`` int8 shaped like the weight and ``s`` fp32 broadcast-shaped
+  (contraction axis reduced, kept as 1). Stacked per-layer weights
+  [L, in, out] keep per-(layer, out-channel) scales [L, 1, out] — a
+  ``lax.scan`` over the stacked blocks slices both leaves in lock-step,
+  so the per-layer dequant happens in-loop and cannot be hoisted into a
+  full-precision materialization of the whole stack.
+- only the *towers'* matmul weights quantize (qkv/out-proj/MLP/patch
+  kernel/projections). LayerNorms, embeddings, biases and logit_scale
+  stay fp32 — mirroring the precision policy that already keeps those
+  islands exact (CLAUDE.md conventions).
+- quantization is a serving-side transform (``serving.Predictor(...,
+  quantize="int8")``); training/eval and checkpoints never see int8
+  leaves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+QuantizedWeight = Dict[str, jnp.ndarray]  # {"int8": ..., "scale": ...}
+
+
+def quantize_int8(w: jnp.ndarray, axis: int = -2) -> QuantizedWeight:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``axis`` is the contraction (fan-in) axis the scale reduces over —
+    default -2 fits every ``[..., in, out]`` matmul weight here,
+    including stacked ``[L, in, out]`` blocks (per-layer, per-column
+    scales). All-zero columns get scale 1 so dequant stays exact.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"int8": q, "scale": scale}
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "int8" in w
+
+
+def dequantize(w: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8 x fp32 scale -> ``dtype``. The multiply runs in fp32 (int8
+    magnitudes are exact in fp32; the only rounding is the final cast),
+    and XLA fuses the convert+scale into the consuming matmul's operand
+    read — the weight crosses HBM as int8."""
+    return (w["int8"].astype(jnp.float32) * w["scale"]).astype(dtype)
+
+
+def as_weight(w: Any, dtype) -> jnp.ndarray:
+    """Uniform weight fetch for the model code: dequantize an int8 pair,
+    cast a plain array."""
+    if is_quantized(w):
+        return dequantize(w, dtype)
+    return w.astype(dtype)
+
+
+_BLOCK_WEIGHTS = (("attn", "wqkv"), ("attn", "wo"),
+                  ("mlp", "w_fc"), ("mlp", "w_proj"))
+
+
+def _quantize_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
+    out = {k: dict(v) for k, v in blocks.items()}
+    for outer, key in _BLOCK_WEIGHTS:
+        out[outer][key] = quantize_int8(blocks[outer][key])
+    return out
+
+
+def quantize_clip_params(params: Dict[str, Any],
+                         towers=("visual",)) -> Dict[str, Any]:
+    """Copy of a CLIP param pytree with the chosen towers' matmul weights
+    as int8 pairs (new dicts all the way down the touched paths — the
+    input pytree is never mutated).
+
+    Default quantizes the VISION tower only: text encodes once at
+    predictor construction (full precision keeps the class features
+    exact), while the image tower runs per request — that is where the
+    weight bandwidth is paid. Pass ``towers=("visual", "text")`` to
+    also shrink a resident text tower.
+
+    ViT towers only: the ModifiedResNet tower is conv/BN-shaped and
+    its serving path is not bandwidth-bound the same way (raises).
+    """
+    new = dict(params)
+    if "visual" in towers:
+        v = params["visual"]
+        if "patch_kernel" not in v:
+            raise ValueError(
+                "int8 weight quantization covers the ViT towers only; "
+                "serve ResNet backbones unquantized")
+        v = dict(v)
+        v["patch_kernel"] = quantize_int8(v["patch_kernel"])
+        v["proj"] = quantize_int8(v["proj"])
+        v["blocks"] = _quantize_blocks(v["blocks"])
+        new["visual"] = v
+    if "text" in towers:
+        t = dict(params["text"])
+        t["text_projection"] = quantize_int8(t["text_projection"])
+        t["blocks"] = _quantize_blocks(t["blocks"])
+        new["text"] = t
+    return new

@@ -76,6 +76,11 @@ class Predictor:
     latency lever the reference's ``nn.DataParallel`` batch split
     (``coop.py:268-272``) cannot provide. ResNet backbones are
     data-parallel only (a model axis > 1 raises).
+
+    ``quantize="int8"``: weight-only int8 on the vision tower (per-
+    output-channel scales, dequant fused into each matmul — see
+    ``ops/quant.py``); halves the serving weight footprint/bandwidth.
+    Text features and calibration math stay full precision. ViT only.
     """
 
     def __init__(self, backbone: str, classnames: Sequence[str],
@@ -86,6 +91,7 @@ class Predictor:
                  mesh=None,
                  pixel_stats=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD),
                  preprocess_on_device: bool = False,
+                 quantize: Optional[str] = None,
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
@@ -98,6 +104,18 @@ class Predictor:
             backbone, "float32" if precision == "fp32" else "bfloat16")
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r}: expected None or "
+                             f"'int8'")
+        if quantize == "int8":
+            # weight-only int8 on the VISION tower (the per-request hot
+            # path): halves its HBM weight footprint/bandwidth, dequant
+            # fused into each layer's matmul (ops/quant.py). The text
+            # tower stays full precision — it encodes once, right below,
+            # so the class features are exact.
+            from .ops.quant import quantize_clip_params
+            self.params = quantize_clip_params(self.params)
+        self.quantize = quantize
 
         if _text_features is None:
             prompts = [template.format(c.replace("_", " "))

@@ -1,0 +1,164 @@
+"""Weight-only int8 serving quantization (ops/quant.py).
+
+Beyond-reference feature (the reference serves fp16 at best —
+``clip/model.py:632-653``), so there is no oracle; these are property
+and behavioral gates instead: exact quantization error bounds, pytree
+hygiene, and end-to-end prediction agreement on the golden fixture
+backbone.
+"""
+
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+FIX = osp.join(REPO, "tests", "fixtures", "golden_e2e")
+
+CLASSNAMES = ["amber", "basalt", "cobalt", "dune"]
+
+
+@pytest.fixture(autouse=True)
+def _fixture_weights(monkeypatch):
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", osp.join(FIX, "weights"))
+
+
+def test_quantize_int8_error_bound():
+    """Per-element dequant error is bounded by scale/2 (symmetric
+    round-to-nearest over 127 steps), with exact zero columns."""
+    from clip_calibration_tpu.ops.quant import dequantize, quantize_int8
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(3, 16, 8)).astype(np.float32) * \
+        rng.uniform(0.1, 10, size=(3, 1, 8)).astype(np.float32)
+    w[:, :, 2] = 0.0  # all-zero output channel
+    q = quantize_int8(jnp.asarray(w))
+    assert q["int8"].dtype == jnp.int8
+    assert q["scale"].shape == (3, 1, 8)
+    deq = np.asarray(dequantize(q, jnp.float32))
+    bound = np.asarray(q["scale"]) / 2 + 1e-7
+    assert (np.abs(deq - w) <= bound).all()
+    np.testing.assert_array_equal(deq[:, :, 2], 0.0)
+    # max-magnitude elements are exactly representable (|q| = 127)
+    flat_max = np.abs(w).max(axis=1)
+    got_max = np.abs(deq).max(axis=1)
+    np.testing.assert_allclose(got_max, flat_max, rtol=1e-5)
+
+
+def test_quantize_clip_params_structure():
+    """Vision matmul weights become int8 pairs; LN/embeddings/biases/
+    text tower/logit_scale stay untouched (same arrays, not copies)."""
+    import jax
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.ops.quant import (is_quantized,
+                                                quantize_clip_params)
+
+    cfg = M.PRESETS["ViT-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    qp = quantize_clip_params(params)
+
+    v = qp["visual"]
+    for leaf in (v["patch_kernel"], v["proj"],
+                 v["blocks"]["attn"]["wqkv"], v["blocks"]["attn"]["wo"],
+                 v["blocks"]["mlp"]["w_fc"],
+                 v["blocks"]["mlp"]["w_proj"]):
+        assert is_quantized(leaf)
+        assert leaf["int8"].dtype == jnp.int8
+    # stacked scales keep the layer axis so lax.scan slices in lock-step
+    L = cfg.vision_layers
+    assert v["blocks"]["attn"]["wqkv"]["scale"].shape[0] == L
+    # untouched leaves are the SAME objects (no silent copies)
+    assert v["class_embedding"] is params["visual"]["class_embedding"]
+    assert v["ln_pre"] is params["visual"]["ln_pre"]
+    assert v["blocks"]["attn"]["bqkv"] is \
+        params["visual"]["blocks"]["attn"]["bqkv"]
+    assert qp["text"] is params["text"]
+    assert qp["logit_scale"] is params["logit_scale"]
+    # the input pytree was not mutated
+    assert not is_quantized(params["visual"]["patch_kernel"])
+
+
+def test_quantized_encode_matches_full_precision():
+    """encode_image over int8 weights tracks the fp32 path closely
+    (cosine similarity of the pooled features)."""
+    import jax
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.backbone import load_clip_backbone
+    from clip_calibration_tpu.ops.quant import quantize_clip_params
+
+    params, cfg = load_clip_backbone("ViT-Test", "float32")
+    qp = quantize_clip_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3),
+                           jnp.float32, -1, 1)
+    full = np.asarray(M.normalize(
+        M.encode_image(params, cfg, x, dtype=jnp.float32)))
+    quant = np.asarray(M.normalize(
+        M.encode_image(qp, cfg, x, dtype=jnp.float32)))
+    cos = (full * quant).sum(axis=-1)
+    assert cos.min() > 0.999
+
+
+def test_resnet_quantization_rejected():
+    import jax
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.ops.quant import quantize_clip_params
+
+    params = M.init_clip(jax.random.PRNGKey(0), M.PRESETS["RN-Test"])
+    with pytest.raises(ValueError, match="ViT"):
+        quantize_clip_params(params)
+
+
+def _test_images(classes):
+    from PIL import Image
+
+    split = json.load(open(osp.join(
+        FIX, "data", "caltech-101", "split_zhou_Caltech101.json")))
+    img_root = osp.join(FIX, "data", "caltech-101",
+                        "101_ObjectCategories")
+    imgs, labels = [], []
+    relabel = {c: i for i, c in enumerate(sorted(classes))}
+    for rel, lab, _ in split["test"]:
+        if lab in classes:
+            img = Image.open(osp.join(img_root, rel)).convert("RGB")
+            img = img.resize((32, 32), Image.BICUBIC)
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(relabel[lab])
+    return np.stack(imgs), np.asarray(labels)
+
+
+def test_quantized_predictor_agrees_with_full():
+    """Predictor(quantize='int8') predictions agree with the
+    unquantized Predictor on the golden fixture backbone — same top-1
+    on every image, probabilities within quantization noise."""
+    from clip_calibration_tpu.serving import Predictor
+
+    images, _ = _test_images({0, 1, 2, 3})
+    full = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                     batch_size=8)
+    quant = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                      batch_size=8, quantize="int8")
+    assert quant.quantize == "int8"
+    out_f = full.predict(images)
+    out_q = quant.predict(images)
+    assert (out_f["preds"] == out_q["preds"]).all()
+    np.testing.assert_allclose(out_q["probs"], out_f["probs"], atol=0.02)
+    # the calibration knobs ride on top unchanged
+    conf = np.asarray([1.2, 0.8, 1.0, 1.1], np.float32)
+    out_qc = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                       batch_size=8, quantize="int8",
+                       class_confidence=conf,
+                       temperature=50.0).predict(images)
+    np.testing.assert_allclose(out_qc["probs"].sum(1), 1.0, atol=1e-5)
+
+
+def test_quantize_rejects_unknown_mode():
+    from clip_calibration_tpu.serving import Predictor
+
+    with pytest.raises(ValueError, match="quantize"):
+        Predictor("ViT-Test", CLASSNAMES, quantize="int4")
