@@ -162,3 +162,54 @@ def test_quantize_rejects_unknown_mode():
 
     with pytest.raises(ValueError, match="quantize"):
         Predictor("ViT-Test", CLASSNAMES, quantize="int4")
+
+
+def test_quantized_prompt_checkpoint_predictor():
+    """from_prompt_checkpoint(quantize='int8'): the prompt text encode
+    runs BEFORE quantization touches nothing it needs (text tower stays
+    full precision), so the tuned predictor agrees with its
+    unquantized twin."""
+    from clip_calibration_tpu.serving import Predictor
+
+    ckpt = osp.join(FIX, "coop_model")
+    images, _ = _test_images({0, 1})
+    base = ["amber", "basalt"]
+    full = Predictor.from_prompt_checkpoint(
+        "ViT-Test", base, ckpt, n_ctx=4, precision="fp32", batch_size=8)
+    quant = Predictor.from_prompt_checkpoint(
+        "ViT-Test", base, ckpt, n_ctx=4, precision="fp32", batch_size=8,
+        quantize="int8")
+    # tuned text features are bit-identical: only the vision tower
+    # quantizes, and it is not involved in the prompt encode
+    np.testing.assert_array_equal(np.asarray(full.text_features),
+                                  np.asarray(quant.text_features))
+    out_f = full.predict(images)
+    out_q = quant.predict(images)
+    assert (out_f["preds"] == out_q["preds"]).all()
+    np.testing.assert_allclose(out_q["probs"], out_f["probs"], atol=0.02)
+
+
+def test_quantized_sharded_serving_matches_single():
+    """quantize='int8' composes with SPMD + tensor-parallel serving:
+    int8 leaves replicate over the mesh, dequant happens inside the
+    partitioned program, results match the single-device quantized
+    path exactly."""
+    import jax
+
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.serving import Predictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    mesh = make_mesh((4, 2), ("data", "model"))
+
+    images, _ = _test_images({0, 1})
+    single = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                       batch_size=8, quantize="int8")
+    sharded = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                        batch_size=8, quantize="int8", mesh=mesh)
+    out_s = single.predict(images)
+    out_m = sharded.predict(images)
+    np.testing.assert_allclose(out_m["probs"], out_s["probs"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
