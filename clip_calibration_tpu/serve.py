@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh shape, e.g. '8' (DP) or '2,4' "
                         "(DP x tensor-parallel towers)")
     p.add_argument("--preprocess-on-device", action="store_true")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 vision tower (ops/quant.py): "
+                        "half the HBM weight footprint/bandwidth; "
+                        "zero-shot/--coop-prompt ViT paths")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="config overrides KEY VALUE ... (trainer builds)")
@@ -169,6 +173,12 @@ def build_predictor(args, classnames):
                 "--coop-prompt paths only (serving.Predictor); trainer "
                 "checkpoints need host-side geometry at the model "
                 "resolution")
+        if args.quantize:
+            # trainers run the parity-exact eval path; quantization is
+            # a Predictor-side serving transform (ops/quant.py)
+            raise SystemExit(
+                "--quantize covers the zero-shot/--coop-prompt paths "
+                "only (serving.Predictor)")
         opts = list(args.opts or [])
         if args.mesh:
             # the trainer builds its own mesh from TPU.MESH_SHAPE and
@@ -186,7 +196,8 @@ def build_predictor(args, classnames):
         mesh = make_mesh(tuple(int(x) for x in args.mesh.split(",")))
     kwargs = dict(precision=args.precision, batch_size=args.batch_size,
                   class_confidence=conf, temperature=args.temperature,
-                  mesh=mesh, preprocess_on_device=args.preprocess_on_device)
+                  mesh=mesh, preprocess_on_device=args.preprocess_on_device,
+                  quantize=args.quantize)
     if args.checkpoint_dir:
         return Predictor.from_prompt_checkpoint(
             args.backbone, classnames, args.checkpoint_dir,

@@ -189,6 +189,33 @@ def test_quantized_prompt_checkpoint_predictor():
     np.testing.assert_allclose(out_q["probs"], out_f["probs"], atol=0.02)
 
 
+def test_serve_cli_quantize(tmp_path):
+    """--quantize int8 through the serving CLI: zero-shot path serves,
+    trainer-checkpoint path is rejected (eval parity stays exact)."""
+    import json as _json
+
+    from PIL import Image
+
+    from clip_calibration_tpu.serve import main
+
+    rng = np.random.default_rng(11)
+    img = tmp_path / "one.png"
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                 dtype=np.uint8)).save(str(img))
+    out = str(tmp_path / "preds.jsonl")
+    rc = main(["--backbone", "ViT-Test", "--classnames", *CLASSNAMES,
+               "--images", str(img), "--out", out,
+               "--precision", "fp32", "--quantize", "int8"])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in open(out)]
+    assert len(rows) == 1 and rows[0]["pred"] in CLASSNAMES
+
+    with pytest.raises(SystemExit, match="quantize"):
+        main(["--backbone", "ViT-Test", "--classnames", *CLASSNAMES,
+              "--images", str(img), "--trainer", "ZeroshotCLIP",
+              "--checkpoint-dir", str(tmp_path), "--quantize", "int8"])
+
+
 def test_quantized_sharded_serving_matches_single():
     """quantize='int8' composes with SPMD + tensor-parallel serving:
     int8 leaves replicate over the mesh, dequant happens inside the
