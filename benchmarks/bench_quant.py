@@ -39,12 +39,12 @@ N_ITERS = 20
 N_TRIALS = 5
 
 
-def _encode_rate(params, cfg, batch: int) -> float:
+def _encode_rate(params, cfg, batch: int, qmode: str = "dequant") -> float:
     """Median images/s for the normalized image encode at ``batch``."""
 
     def encode(params, images):
         x = normalize_images(images)
-        return M.normalize(M.encode_image(params, cfg, x))
+        return M.normalize(M.encode_image(params, cfg, x, qmode=qmode))
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(params, images, n):
@@ -82,13 +82,17 @@ def main(argv):
     for batch in batches:
         bf16 = _encode_rate(params, cfg, batch)
         int8 = _encode_rate(qparams, cfg, batch)
+        w8a8 = _encode_rate(qparams, cfg, batch, qmode="w8a8")
         print(json.dumps({
             "backbone": backbone, "batch": batch,
             "bf16_images_per_s": round(bf16, 1),
             "int8_images_per_s": round(int8, 1),
-            "speedup": round(int8 / bf16, 3),
+            "w8a8_images_per_s": round(w8a8, 1),
+            "int8_speedup": round(int8 / bf16, 3),
+            "w8a8_speedup": round(w8a8 / bf16, 3),
             "bf16_ms_per_batch": round(1e3 * batch / bf16, 3),
             "int8_ms_per_batch": round(1e3 * batch / int8, 3),
+            "w8a8_ms_per_batch": round(1e3 * batch / w8a8, 3),
         }), flush=True)
 
 

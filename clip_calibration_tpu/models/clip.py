@@ -35,7 +35,7 @@ import numpy as np
 
 from ..ops.attention import (causal_mask, layer_norm, multi_head_attention,
                              quick_gelu)
-from ..ops.quant import as_weight
+from ..ops.quant import qdot
 
 Params = Dict[str, Any]
 
@@ -229,6 +229,7 @@ def transformer(
     text_side: bool = False,
     remat: bool = False,
     tp=None,
+    qmode: str = "dequant",
 ) -> jnp.ndarray:
     """Scan the stacked residual blocks over x [B, L, D].
 
@@ -283,15 +284,16 @@ def transformer(
             splice = _splice_text if text_side else _splice_vision
             h = jnp.where((idx > 0) & (idx < deep_prompt_depth),
                           splice(h, prompt, L), h)
-        # as_weight: plain arrays cast to the compute dtype; int8 serving
-        # pairs (ops/quant.py) dequantize here, per scanned layer slice
+        # qdot: plain arrays run the ordinary dot; int8 serving pairs
+        # (ops/quant.py) dequantize per scanned layer slice ("dequant")
+        # or run the MXU int8 path ("w8a8")
         h = h + multi_head_attention(
             layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
-            as_weight(p["attn"]["wqkv"], h.dtype), p["attn"]["bqkv"],
-            as_weight(p["attn"]["wo"], h.dtype), p["attn"]["bo"],
-            n_heads, mask, tp=tp)
+            p["attn"]["wqkv"], p["attn"]["bqkv"],
+            p["attn"]["wo"], p["attn"]["bo"],
+            n_heads, mask, tp=tp, qmode=qmode)
         y = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
-        y = jnp.dot(y, as_weight(p["mlp"]["w_fc"], y.dtype)) \
+        y = qdot(y, p["mlp"]["w_fc"], qmode) \
             + p["mlp"]["b_fc"].astype(y.dtype)
         if tp is not None:
             # Megatron split: hidden features over the model axis —
@@ -299,7 +301,7 @@ def transformer(
             # projection contracts the sharded dim (one psum)
             y = tp.shard_hidden(y)
         y = quick_gelu(y)
-        y = jnp.dot(y, as_weight(p["mlp"]["w_proj"], y.dtype)) \
+        y = qdot(y, p["mlp"]["w_proj"], qmode) \
             + p["mlp"]["b_proj"].astype(y.dtype)
         return h + y, None
 
@@ -341,6 +343,7 @@ def encode_text_embedded(
     remat: bool = False,
     seq_len: Optional[int] = None,
     tp=None,
+    qmode: str = "dequant",
 ) -> jnp.ndarray:
     """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
     path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
@@ -376,12 +379,11 @@ def encode_text_embedded(
     x = transformer(txt_p["blocks"], x, cfg.transformer_heads, mask,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=True,
-                    remat=remat, tp=tp)
+                    remat=remat, tp=tp, qmode=qmode)
     x = layer_norm(x, txt_p["ln_final"]["scale"],
                    txt_p["ln_final"]["bias"])
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
-    return jnp.dot(pooled, as_weight(txt_p["text_projection"],
-                                     pooled.dtype))
+    return qdot(pooled, txt_p["text_projection"], qmode)
 
 
 def eot_seq_len(tokens_or_eot) -> int:
@@ -432,6 +434,7 @@ def encode_image(
     deep_prompt_depth: int = 0,
     dtype=jnp.bfloat16,
     tp=None,
+    qmode: str = "dequant",
 ) -> jnp.ndarray:
     """Vision tower. images: [B, H, W, 3] (NHWC, preprocessed).
 
@@ -460,7 +463,7 @@ def encode_image(
                                        images.astype(dtype))
     vp = params["visual"]
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
-    x = jnp.dot(x, as_weight(vp["patch_kernel"], x.dtype))
+    x = qdot(x, vp["patch_kernel"], qmode)
     cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype),
                            (x.shape[0], 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
@@ -474,9 +477,9 @@ def encode_image(
     x = transformer(vp["blocks"], x, cfg.vision_heads, None,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=False,
-                    tp=tp)
+                    tp=tp, qmode=qmode)
     x = layer_norm(x[:, 0], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
-    return jnp.dot(x, as_weight(vp["proj"], x.dtype))
+    return qdot(x, vp["proj"], qmode)
 
 
 # ---------------------------------------------------------------------------

@@ -89,24 +89,31 @@ def multi_head_attention(
     n_heads: int,
     mask: Optional[jnp.ndarray] = None,
     tp=None,
+    qmode: str = "dequant",
 ) -> jnp.ndarray:
     """Self-attention over [B, L, D].
 
     Args:
       x: [B, L, D] activations (any float dtype; compute follows x.dtype
          with fp32 softmax).
-      wqkv: [D, 3D] fused projection (torch ``in_proj_weight`` transposed).
+      wqkv: [D, 3D] fused projection (torch ``in_proj_weight`` transposed)
+         — a plain array or an int8 serving pair (``ops/quant.py``).
       bqkv: [3D].
-      wo: [D, D] output projection (torch ``out_proj.weight`` transposed).
-      bo: [D].
+      wo: [D, D] output projection (torch ``out_proj.weight`` transposed)
+         — plain or int8 pair.
       mask: optional [L, L] additive fp32 mask.
       tp: optional ``parallel.tp.TowerTP`` — heads shard over the mesh's
         model axis (GSPMD partitions the einsums; the Pallas kernel is a
         single-device program, so TP always takes the XLA path).
+      qmode: int8 execution mode for quantized projections
+        (``ops/quant.qdot``); ignored for plain arrays. The score/PV
+        contractions are activation x activation and stay bf16/fp32.
     """
+    from .quant import qdot
+
     B, L, D = x.shape
     head_dim = D // n_heads
-    qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)  # [B,L,3D]
+    qkv = qdot(x, wqkv, qmode) + bqkv.astype(x.dtype)  # [B,L,3D]
     if tp is None and _use_pallas() and L % 16 == 0:
         # fused head-split/QK^T/softmax/PV directly on the packed qkv —
         # no head transposes, scores never leave VMEM. The tower pads L
@@ -146,7 +153,7 @@ def multi_head_attention(
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         if tp is not None:
             out = tp.shard_concat(out)
-    return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
+    return qdot(out, wo, qmode) + bo.astype(x.dtype)
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

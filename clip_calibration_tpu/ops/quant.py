@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 
 QuantizedWeight = Dict[str, jnp.ndarray]  # {"int8": ..., "scale": ...}
@@ -70,6 +71,51 @@ def as_weight(w: Any, dtype) -> jnp.ndarray:
     if is_quantized(w):
         return dequantize(w, dtype)
     return w.astype(dtype)
+
+
+def quantize_activations_int8(x: jnp.ndarray):
+    """Dynamic symmetric per-row int8: scale over the feature (last)
+    axis, recomputed per batch inside the jit — no calibration data
+    needed. Returns (q int8, scale fp32 [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
+    """``x @ w`` with quantization-aware dispatch (the model's single
+    matmul entry point for maybe-quantized weights).
+
+    - plain array ``w``: the ordinary dot in ``x.dtype``.
+    - int8 pair + ``qmode="dequant"`` (weight-only): dequantize fused
+      into the operand read — weights cross HBM as int8, the MXU runs
+      bf16 (bandwidth win at small batch).
+    - int8 pair + ``qmode="w8a8"``: activations quantize dynamically
+      per row and the dot runs int8 x int8 -> int32 on the MXU's
+      double-rate int8 path (394 vs 197 TOPS on v5e — compute win at
+      large batch); the fp32 rescale (row scale x column scale) folds
+      into the output epilogue.
+
+    Contracts x's last axis with w's first; any leading x batch dims
+    ride along (matching ``jnp.dot`` for 2D w).
+    """
+    if not is_quantized(w):
+        return jnp.dot(x, w.astype(x.dtype))
+    if qmode == "dequant":
+        return jnp.dot(x, dequantize(w, x.dtype))
+    assert qmode == "w8a8", qmode
+    xq, xs = quantize_activations_int8(x)
+    acc = jax.lax.dot_general(
+        xq, w["int8"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    # w["scale"] keeps the contraction axis as 1 ([1, O] / [L, 1, O]
+    # sliced to [1, O] in the scan); xs is [..., 1] — both broadcast
+    # over the [..., O] accumulator
+    return (acc.astype(jnp.float32) * xs
+            * w["scale"].reshape(w["scale"].shape[-1])).astype(x.dtype)
 
 
 _BLOCK_WEIGHTS = (("attn", "wqkv"), ("attn", "wo"),

@@ -82,10 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh shape, e.g. '8' (DP) or '2,4' "
                         "(DP x tensor-parallel towers)")
     p.add_argument("--preprocess-on-device", action="store_true")
-    p.add_argument("--quantize", default=None, choices=["int8"],
-                   help="weight-only int8 vision tower (ops/quant.py): "
-                        "half the HBM weight footprint/bandwidth; "
-                        "zero-shot/--coop-prompt ViT paths")
+    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+                   help="int8 vision tower (ops/quant.py): 'int8' = "
+                        "weight-only (half the HBM weight footprint/"
+                        "bandwidth), 'w8a8' = full int8 matmuls (MXU "
+                        "double-rate); zero-shot/--coop-prompt ViT paths")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="config overrides KEY VALUE ... (trainer builds)")

@@ -80,6 +80,9 @@ class Predictor:
     ``quantize="int8"``: weight-only int8 on the vision tower (per-
     output-channel scales, dequant fused into each matmul — see
     ``ops/quant.py``); halves the serving weight footprint/bandwidth.
+    ``quantize="w8a8"`` additionally quantizes activations dynamically
+    per row and runs the tower matmuls int8 x int8 on the MXU's
+    double-rate int8 path — the compute lever for large-batch serving.
     Text features and calibration math stay full precision. ViT only.
     """
 
@@ -104,18 +107,21 @@ class Predictor:
             backbone, "float32" if precision == "fp32" else "bfloat16")
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
-        if quantize not in (None, "int8"):
-            raise ValueError(f"quantize={quantize!r}: expected None or "
-                             f"'int8'")
-        if quantize == "int8":
-            # weight-only int8 on the VISION tower (the per-request hot
-            # path): halves its HBM weight footprint/bandwidth, dequant
-            # fused into each layer's matmul (ops/quant.py). The text
-            # tower stays full precision — it encodes once, right below,
-            # so the class features are exact.
+        if quantize not in (None, "int8", "w8a8"):
+            raise ValueError(f"quantize={quantize!r}: expected None, "
+                             f"'int8' or 'w8a8'")
+        if quantize is not None:
+            # int8 on the VISION tower (the per-request hot path):
+            # "int8" = weight-only — halves its HBM weight footprint/
+            # bandwidth, dequant fused into each layer's matmul;
+            # "w8a8" additionally quantizes activations per row and
+            # runs the MXU's double-rate int8 matmuls (ops/quant.py).
+            # The text tower stays full precision — it encodes once,
+            # right below, so the class features are exact.
             from .ops.quant import quantize_clip_params
             self.params = quantize_clip_params(self.params)
         self.quantize = quantize
+        qmode = "w8a8" if quantize == "w8a8" else "dequant"
 
         if _text_features is None:
             prompts = [template.format(c.replace("_", " "))
@@ -173,7 +179,8 @@ class Predictor:
             else:
                 x = normalize_images(images, mean, std, dtype=dtype)
             return M.normalize(M.encode_image(params, cfg, x,
-                                              dtype=dtype, tp=tp))
+                                              dtype=dtype, tp=tp,
+                                              qmode=qmode))
 
         def predict_step(params, text_features, images, scale, conf):
             # encode + calibrated scoring in ONE program: the image

@@ -83,9 +83,31 @@ def test_quantize_clip_params_structure():
     assert not is_quantized(params["visual"]["patch_kernel"])
 
 
-def test_quantized_encode_matches_full_precision():
+def test_qdot_modes_match_reference_matmul():
+    """qdot: plain arrays take the exact dot; int8 pairs track the fp32
+    product within quantization noise in BOTH execution modes (weight-
+    only dequant and the int8 x int8 'w8a8' path)."""
+    import jax.numpy as jnp
+    from clip_calibration_tpu.ops.quant import qdot, quantize_int8
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(5, 7, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 12)).astype(np.float32))
+    ref = np.asarray(x) @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(qdot(x, w)), ref, rtol=1e-5,
+                               atol=1e-5)
+    pair = quantize_int8(w)
+    for mode in ("dequant", "w8a8"):
+        got = np.asarray(qdot(x, pair, mode))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.02, (mode, rel)
+
+
+@pytest.mark.parametrize("mode", ["dequant", "w8a8"])
+def test_quantized_encode_matches_full_precision(mode):
     """encode_image over int8 weights tracks the fp32 path closely
-    (cosine similarity of the pooled features)."""
+    (cosine similarity of the pooled features), in both execution
+    modes."""
     import jax
     import jax.numpy as jnp
     from clip_calibration_tpu.models import clip as M
@@ -99,7 +121,7 @@ def test_quantized_encode_matches_full_precision():
     full = np.asarray(M.normalize(
         M.encode_image(params, cfg, x, dtype=jnp.float32)))
     quant = np.asarray(M.normalize(
-        M.encode_image(qp, cfg, x, dtype=jnp.float32)))
+        M.encode_image(qp, cfg, x, dtype=jnp.float32, qmode=mode)))
     cos = (full * quant).sum(axis=-1)
     assert cos.min() > 0.999
 
@@ -132,18 +154,20 @@ def _test_images(classes):
     return np.stack(imgs), np.asarray(labels)
 
 
-def test_quantized_predictor_agrees_with_full():
-    """Predictor(quantize='int8') predictions agree with the
+@pytest.mark.parametrize("mode", ["int8", "w8a8"])
+def test_quantized_predictor_agrees_with_full(mode):
+    """Predictor(quantize=...) predictions agree with the
     unquantized Predictor on the golden fixture backbone — same top-1
-    on every image, probabilities within quantization noise."""
+    on every image, probabilities within quantization noise — in both
+    the weight-only and the full-int8-matmul modes."""
     from clip_calibration_tpu.serving import Predictor
 
     images, _ = _test_images({0, 1, 2, 3})
     full = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
                      batch_size=8)
     quant = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
-                      batch_size=8, quantize="int8")
-    assert quant.quantize == "int8"
+                      batch_size=8, quantize=mode)
+    assert quant.quantize == mode
     out_f = full.predict(images)
     out_q = quant.predict(images)
     assert (out_f["preds"] == out_q["preds"]).all()
