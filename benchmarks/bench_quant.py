@@ -69,16 +69,80 @@ def _encode_rate(params, cfg, batch: int, qmode: str = "dequant") -> float:
     return trials[len(trials) // 2]
 
 
+_PROBE_WORDS = (
+    "dog cat car airplane bird boat chair table tree flower horse sheep "
+    "cow bicycle train truck bottle couch clock keyboard laptop pizza "
+    "banana apple orange bed oven sink toilet door window book phone "
+    "cup fork knife spoon bowl sandwich broccoli carrot donut cake vase "
+    "scissors bear zebra giraffe elephant mouse remote toaster bench "
+    "umbrella handbag tie suitcase frisbee snowboard kite skateboard "
+    "surfboard racket glove helmet lamp").split()
+
+
+def _agreement_report(params, qparams, cfg, batch: int = 64) -> dict:
+    """Prediction drift of the quantized paths vs the bf16 path on the
+    LOADED backbone: zero-shot top-1 agreement over a fixed 64-class
+    probe prompt set, max softmax-probability drift, and mean image-
+    feature cosine. The error bounds pinned in tests/test_quant.py are
+    fixture-measured; this is the per-checkpoint validation to run
+    before serving real weights quantized (real CLIP towers carry
+    activation outliers the w8a8 per-row scale can be sensitive to).
+    Probe images are uniform noise — spot-check on real data via the
+    serve CLI if this report is borderline.
+    """
+    from clip_calibration_tpu.models.tokenizer import tokenize
+
+    tokens = jnp.asarray(tokenize(
+        [f"a photo of a {w}." for w in _PROBE_WORDS],
+        context_length=cfg.context_length))
+    txt = M.normalize(
+        M.encode_text(params, cfg, tokens).astype(jnp.float32))
+    res = cfg.image_resolution
+    images = (jax.random.uniform(
+        jax.random.PRNGKey(7), (batch, res, res, 3)) * 255
+    ).astype(jnp.uint8)
+
+    @functools.partial(jax.jit, static_argnames=("qmode",))
+    def probe(p, images, qmode):
+        feats = M.normalize(M.encode_image(
+            p, cfg, normalize_images(images), qmode=qmode
+        ).astype(jnp.float32))
+        probs = jax.nn.softmax(100.0 * feats @ txt.T, axis=-1)
+        return feats, probs
+
+    ref_f, ref_p = jax.device_get(probe(params, images, "dequant"))
+    out = {"probe_batch": batch, "probe_classes": len(_PROBE_WORDS)}
+    for mode in ("int8", "w8a8"):
+        f, p = jax.device_get(probe(
+            qparams, images, "dequant" if mode == "int8" else mode))
+        out[mode] = {
+            "top1_agreement": round(
+                float((p.argmax(-1) == ref_p.argmax(-1)).mean()), 4),
+            "max_abs_prob_diff": round(
+                float(abs(p - ref_p).max()), 5),
+            "mean_feature_cosine": round(
+                float((f * ref_f).sum(-1).mean()), 6),
+        }
+    return out
+
+
 def main(argv):
     from clip_calibration_tpu.tools.platform import (
         enable_compilation_cache)
+    from clip_calibration_tpu.models.backbone import load_clip_backbone
     enable_compilation_cache()
     backbone = argv[1] if len(argv) > 1 and not argv[1].isdigit() \
         else "ViT-B/16"
     batches = [int(a) for a in argv[1:] if a.isdigit()] or [1, 8, 32, 128]
-    cfg = M.PRESETS[backbone]
-    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    # real weights when CLIP_CHECKPOINT_DIR (or ~/.cache/clip) resolves
+    # the name; random init otherwise — the throughput rows are weight-
+    # value-independent but the agreement row is only meaningful on the
+    # checkpoint actually being deployed
+    params, cfg = load_clip_backbone(backbone)
     qparams = quantize_clip_params(params)
+    print(json.dumps({"backbone": backbone,
+                      "agreement_vs_bf16": _agreement_report(
+                          params, qparams, cfg)}), flush=True)
     for batch in batches:
         bf16 = _encode_rate(params, cfg, batch)
         int8 = _encode_rate(qparams, cfg, batch)

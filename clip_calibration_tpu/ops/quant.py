@@ -7,9 +7,14 @@ fp32 scales and dequantized *inside* the jit program right where each
 layer's slice is consumed. On TPU the weight read is the small-batch
 serving bottleneck (an image-encode at batch<=8 is HBM-bandwidth-bound,
 see docs/ROOFLINE.md), so int8 weights move the bandwidth roofline 2x;
-activations and accumulation stay bf16/fp32, so the numerics stay within
-a hair of the bf16 path (symmetric 127-step quantization per output
-channel; see tests/test_quant.py for the measured bounds).
+activations and accumulation stay bf16/fp32 (symmetric 127-step
+quantization per output channel; tests/test_quant.py pins error bounds
+on the golden fixture backbone). Those bounds are fixture-measured, not
+universal: real CLIP checkpoints carry activation outliers that the
+``w8a8`` per-row dynamic activation scale can be sensitive to — validate
+any production checkpoint with ``benchmarks/bench_quant.py``, which
+reports top-1 agreement and probability drift vs the full-precision
+path alongside throughput.
 
 Design notes:
 - a quantized weight is the pytree leaf pair ``{"int8": q, "scale": s}``
@@ -63,14 +68,6 @@ def dequantize(w: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
     and XLA fuses the convert+scale into the consuming matmul's operand
     read — the weight crosses HBM as int8."""
     return (w["int8"].astype(jnp.float32) * w["scale"]).astype(dtype)
-
-
-def as_weight(w: Any, dtype) -> jnp.ndarray:
-    """Uniform weight fetch for the model code: dequantize an int8 pair,
-    cast a plain array."""
-    if is_quantized(w):
-        return dequantize(w, dtype)
-    return w.astype(dtype)
 
 
 def quantize_activations_int8(x: jnp.ndarray):

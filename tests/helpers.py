@@ -70,3 +70,31 @@ def build_synthetic_trainer(name, data_root, seed=1, output_dir=None,
         cfg.freeze()
     set_random_seed(seed)
     return TRAINER_REGISTRY.get(name)(cfg)
+
+
+def golden_test_images(classes):
+    """Golden-fixture test-split images through the eval geometry
+    (48 -> 32, BICUBIC) with labels relabeled onto sorted(classes).
+    Shared by test_serving and test_quant (previously two verbatim
+    copies that could drift apart with the fixture layout)."""
+    import json
+    import os.path as osp
+
+    import numpy as np
+    from PIL import Image
+
+    fix = osp.join(osp.dirname(osp.abspath(__file__)),
+                   "fixtures", "golden_e2e")
+    split = json.load(open(osp.join(
+        fix, "data", "caltech-101", "split_zhou_Caltech101.json")))
+    img_root = osp.join(fix, "data", "caltech-101",
+                        "101_ObjectCategories")
+    imgs, labels = [], []
+    relabel = {c: i for i, c in enumerate(sorted(classes))}
+    for rel, lab, _ in split["test"]:
+        if lab in classes:
+            img = Image.open(osp.join(img_root, rel)).convert("RGB")
+            img = img.resize((32, 32), Image.BICUBIC)
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(relabel[lab])
+    return np.stack(imgs), np.asarray(labels)

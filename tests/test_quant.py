@@ -136,22 +136,7 @@ def test_resnet_quantization_rejected():
         quantize_clip_params(params)
 
 
-def _test_images(classes):
-    from PIL import Image
-
-    split = json.load(open(osp.join(
-        FIX, "data", "caltech-101", "split_zhou_Caltech101.json")))
-    img_root = osp.join(FIX, "data", "caltech-101",
-                        "101_ObjectCategories")
-    imgs, labels = [], []
-    relabel = {c: i for i, c in enumerate(sorted(classes))}
-    for rel, lab, _ in split["test"]:
-        if lab in classes:
-            img = Image.open(osp.join(img_root, rel)).convert("RGB")
-            img = img.resize((32, 32), Image.BICUBIC)
-            imgs.append(np.asarray(img, np.uint8))
-            labels.append(relabel[lab])
-    return np.stack(imgs), np.asarray(labels)
+from helpers import golden_test_images as _test_images  # noqa: E402
 
 
 @pytest.mark.parametrize("mode", ["int8", "w8a8"])

@@ -29,22 +29,7 @@ def _fixture_weights(monkeypatch):
     # the backbone cache keys on this env var (base_learner._zs_clip)
 
 
-def _test_images(classes):
-    """Fixture test-split images through the eval geometry (48 -> 32)."""
-    from PIL import Image
-    split = json.load(open(osp.join(
-        FIX, "data", "caltech-101", "split_zhou_Caltech101.json")))
-    img_root = osp.join(FIX, "data", "caltech-101",
-                        "101_ObjectCategories")
-    imgs, labels = [], []
-    relabel = {c: i for i, c in enumerate(sorted(classes))}
-    for rel, lab, _ in split["test"]:
-        if lab in classes:
-            img = Image.open(osp.join(img_root, rel)).convert("RGB")
-            img = img.resize((32, 32), Image.BICUBIC)
-            imgs.append(np.asarray(img, np.uint8))
-            labels.append(relabel[lab])
-    return np.stack(imgs), np.asarray(labels)
+from helpers import golden_test_images as _test_images  # noqa: E402
 
 
 def test_zero_shot_predictor_matches_golden_accuracy():
