@@ -56,18 +56,18 @@ def main(trainers=None):
     cfg = M.PRESETS["ViT-B/16"]
     params = M.init_clip(jax.random.PRNGKey(0), cfg)
 
-    def encode(params, images):
+    def encode(params, images, qmode="dequant"):
         x = normalize_images(images)
-        return M.normalize(M.encode_image(params, cfg, x))
+        return M.normalize(M.encode_image(params, cfg, x, qmode=qmode))
 
     # Chain N encodes inside one jit with a data dependence between
     # iterations and fetch a single scalar at the end — the remote-device
     # tunnel elides repeated identical dispatches and returns from
     # block_until_ready early, so naive dispatch loops mis-measure.
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(params, images, n):
+    @functools.partial(jax.jit, static_argnames=("n", "qmode"))
+    def chained(params, images, n, qmode="dequant"):
         def body(carry, _):
-            f = encode(params, images ^ carry)  # depends on prior iter
+            f = encode(params, images ^ carry, qmode)  # depends on prior
             nxt = (f[0, 0].astype(jnp.float32) > 1e9).astype(jnp.uint8)
             return carry + nxt, None
         c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n)
@@ -99,6 +99,10 @@ def main(trainers=None):
     achieved_tflops = ips * vit_encode_flops(cfg) / 1e12
     mfu = achieved_tflops * 1e12 / PEAK_BF16_FLOPS
 
+    # secondary: quantized serving (weight-only int8 at the bandwidth-
+    # bound small batch, w8a8 at the compute-bound large batch) — reuses
+    # this function's params/chained-timing machinery
+    quant = _quant_serving(params, cfg, chained)
     # secondary: full CoOp-style train step (fwd+bwd through both towers
     # + optax update) at the reference's CoOp batch size
     train_ips = _train_step_throughput()
@@ -122,6 +126,7 @@ def main(trainers=None):
         "achieved_tflops": round(achieved_tflops, 1),
         "coop_train_step_images_per_s": round(train_ips, 1),
         "eval_pipeline_images_per_s": round(eval_ips, 1),
+        "quant_serving": quant,
         "trainer_steps": trainers,
         "notes": "vs_baseline = MFU = achieved / 197 TFLOP/s nominal v5e "
                  "bf16 roofline (reference publishes no throughput "
@@ -130,6 +135,54 @@ def main(trainers=None):
                  "budgets (fewshot_scaling.sh:32-59), ViT-B/16, 100-class "
                  "synthetic few-shot set.",
     }))
+
+
+def _quant_serving(params, cfg, chained, n_iters=N_ITERS) -> dict:
+    """int8 serving rates vs the bf16 path, same backbone and timing
+    methodology as the headline (``benchmarks/bench_quant.py`` has the
+    full crossover sweep + per-checkpoint agreement report; this is the
+    round-over-round contract subset): weight-only int8 at batch 8
+    (weight-bandwidth-bound regime — the dequant-fused read halves HBM
+    weight bytes) and w8a8 at batch 256 (compute-bound regime — the
+    MXU's double-rate int8 path). Failure-isolated: a quant-path error
+    degrades to an ``error`` entry, never the headline metrics.
+    Skippable with BENCH_SKIP_QUANT=1."""
+    import os
+    import sys
+    if os.environ.get("BENCH_SKIP_QUANT"):
+        return {"skipped": True}
+    try:
+        from clip_calibration_tpu.ops.quant import quantize_clip_params
+        qparams = quantize_clip_params(params)
+        res = cfg.image_resolution
+        out = {}
+        for batch, mode in ((8, "int8"), (256, "w8a8")):
+            images = (jax.random.uniform(
+                jax.random.PRNGKey(5), (batch, res, res, 3)) * 255
+            ).astype(jnp.uint8)
+
+            def rate(p, qmode):
+                int(chained(p, images, n_iters, qmode))  # compile+warm
+                trials = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    int(chained(p, images, n_iters, qmode))
+                    trials.append(
+                        batch * n_iters / (time.perf_counter() - t0))
+                return sorted(trials)[1]
+
+            bf16 = rate(params, "dequant")
+            q = rate(qparams, "dequant" if mode == "int8" else mode)
+            out[f"batch{batch}_{mode}"] = {
+                "bf16_images_per_s": round(bf16, 1),
+                f"{mode}_images_per_s": round(q, 1),
+                "speedup": round(q / bf16, 3),
+            }
+        return out
+    except Exception as e:  # noqa: BLE001 — contract line must print
+        print(f"quant serving bench failed: {e!r}", file=sys.stderr,
+              flush=True)
+        return {"error": repr(e)}
 
 
 def _per_trainer_steps() -> dict:
