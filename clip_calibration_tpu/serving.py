@@ -81,8 +81,10 @@ class Predictor:
     output-channel scales, dequant fused into each matmul — see
     ``ops/quant.py``); halves the serving weight footprint/bandwidth.
     ``quantize="w8a8"`` additionally quantizes activations dynamically
-    per row and runs the tower matmuls int8 x int8 on the MXU's
-    double-rate int8 path — the compute lever for large-batch serving.
+    per row and runs the tower matmuls int8 x int8, targeting the MXU's
+    double-rate int8 path for large-batch serving (whether XLA engages
+    it on a given chip is measured, not assumed — see
+    docs/PERFORMANCE.md; weight-only ``int8`` is the recommended mode).
     Text features and calibration math stay full precision. ViT only.
     """
 
