@@ -22,6 +22,11 @@ one JSON line per image.
         --classnames-file classes.txt --images ./photos \
         --class-confidence conf.npy --temperature 2.3
 
+    # resident HTTP model server (dynamic micro-batching —
+    # http_server.py; same construction flags as batch mode)
+    python -m clip_calibration_tpu.serve --http 0.0.0.0:8080 \
+        --backbone ViT-B/16 --classnames-file classes.txt --quantize int8
+
 Host-side geometry uses the eval transform (shorter-side bicubic +
 center crop — ``data/transforms.py``; ``--config-file`` supplies the
 training run's INPUT tree, else the reference yamls' bicubic is
@@ -51,8 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m clip_calibration_tpu.serve",
         description="Serve calibrated CLIP predictions over a directory "
                     "of images (no dataset directory needed)")
-    p.add_argument("--images", required=True,
-                   help="image file(s) or a directory")
+    p.add_argument("--images", default=None,
+                   help="image file(s) or a directory (batch mode; "
+                        "required unless --http)")
+    p.add_argument("--http", default=None, metavar="HOST:PORT",
+                   help="run as a resident HTTP model server instead "
+                        "of batch-scoring --images (dynamic micro-"
+                        "batching; see http_server.py). ':0' picks a "
+                        "free port")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="HTTP mode: batching latency budget — a lone "
+                        "request waits at most this long for "
+                        "coalescing partners")
     p.add_argument("--out", default="-",
                    help="output JSONL path (default stdout)")
     p.add_argument("--backbone", default="ViT-B/16")
@@ -216,8 +231,11 @@ def main(argv=None) -> int:
         force_cpu_platform()
     enable_compilation_cache()  # serving cold start skips recompiles
     args = build_parser().parse_args(argv)
+    if args.http is None and args.images is None:
+        raise SystemExit("--images (batch mode) or --http (server "
+                         "mode) is required")
     classnames = _classnames(args)
-    paths = _image_paths(args.images)
+    paths = _image_paths(args.images) if args.images else []
 
     pred = build_predictor(args, classnames)
     res = getattr(pred, "cfg", None)
@@ -226,6 +244,29 @@ def main(argv=None) -> int:
         # (TempScaling/PTS) by delegation to their wrapped base learner
         res = pred.trainer.clip_cfg
     resolution = res.image_resolution
+
+    if args.http is not None:
+        if args.preprocess_on_device:
+            raise SystemExit("--preprocess-on-device is a batch-mode "
+                             "knob; HTTP mode decodes per request "
+                             "host-side")
+        from .http_server import serve_http
+        server = serve_http(
+            args.http, pred, classnames,
+            _host_transform(args, resolution), topk=args.topk,
+            max_wait_ms=args.max_wait_ms, backbone=args.backbone)
+        host, port = server.server_address[:2]
+        print(f"serving on http://{host}:{port}  "
+              f"(POST /predict, GET /healthz /classes /stats)",
+              flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return 0
+
     images = _load_images(paths, resolution, args.preprocess_on_device,
                           args)
     out = pred.predict(images)

@@ -1,0 +1,256 @@
+"""HTTP model server + dynamic micro-batching (http_server.py).
+
+Beyond-reference (the reference has no serving entry point at all), so
+the gates are behavioral: the batcher must coalesce without changing
+results, and the HTTP surface must return exactly what the underlying
+``serving.Predictor`` computes on the same pixels.
+"""
+
+import base64
+import io
+import json
+import os.path as osp
+import sys
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+FIX = osp.join(REPO, "tests", "fixtures", "golden_e2e")
+
+CLASSNAMES = ["amber", "basalt", "cobalt", "dune"]
+
+
+@pytest.fixture(autouse=True)
+def _fixture_weights(monkeypatch):
+    monkeypatch.setenv("CLIP_CHECKPOINT_DIR", osp.join(FIX, "weights"))
+
+
+# ---------------- DynamicBatcher unit gates ----------------
+
+
+def test_batcher_coalesces_and_routes_rows():
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    calls = []
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        # row-identifying output: each image is a constant plane
+        return {"preds": batch[:, 0, 0, 0].astype(np.int64),
+                "confidences": np.full(batch.shape[0], 0.5)}
+
+    b = DynamicBatcher(predict, max_batch=8, max_wait_ms=200.0)
+    try:
+        imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(6)]
+        futs = [b.submit(img) for img in imgs]
+        rows = [f.result(timeout=10) for f in futs]
+        # every row routed back to its own request
+        assert [int(r["preds"]) for r in rows] == list(range(6))
+        # 6 near-simultaneous submits within the 200ms budget coalesce
+        # into far fewer than 6 device calls (first call may race ahead
+        # with a partial batch; all remaining must ride one batch)
+        assert len(calls) <= 2 and sum(calls) == 6
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_predict_errors():
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    def predict(batch):
+        raise RuntimeError("device fell over")
+
+    b = DynamicBatcher(predict, max_batch=4, max_wait_ms=10.0)
+    try:
+        fut = b.submit(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="fell over"):
+            fut.result(timeout=10)
+    finally:
+        b.close()
+
+
+def test_batcher_respects_max_batch():
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    calls = []
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        return {"preds": np.zeros(batch.shape[0], np.int64)}
+
+    b = DynamicBatcher(predict, max_batch=3, max_wait_ms=500.0)
+    try:
+        futs = [b.submit(np.zeros((2, 2, 3), np.uint8))
+                for _ in range(7)]
+        for f in futs:
+            f.result(timeout=10)
+        assert max(calls) <= 3 and sum(calls) == 7
+    finally:
+        b.close()
+
+
+# ---------------- HTTP server end-to-end ----------------
+
+
+def _fixture_image_bytes(n=3):
+    """Golden-fixture test images as PNG bytes (what a client posts)."""
+    import json as _json
+
+    from PIL import Image
+
+    split = _json.load(open(osp.join(
+        FIX, "data", "caltech-101", "split_zhou_Caltech101.json")))
+    root = osp.join(FIX, "data", "caltech-101", "101_ObjectCategories")
+    blobs = []
+    for rel, lab, _ in split["test"]:
+        if lab in {0, 1, 2, 3}:
+            buf = io.BytesIO()
+            Image.open(osp.join(root, rel)).convert("RGB").save(
+                buf, format="PNG")
+            blobs.append(buf.getvalue())
+            if len(blobs) == n:
+                break
+    return blobs
+
+
+@pytest.fixture(scope="module")
+def server():
+    """ViT-Test zero-shot server on an ephemeral port (module-scoped:
+    one compile)."""
+    import os
+
+    os.environ["CLIP_CHECKPOINT_DIR"] = osp.join(FIX, "weights")
+    from clip_calibration_tpu.http_server import serve_http
+    from clip_calibration_tpu.serving import Predictor
+
+    pred = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                     batch_size=8)
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.transforms import build_transform
+
+    cfg = get_cfg_default()
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.SIZE = (32, 32)
+    srv = serve_http(":0", pred, CLASSNAMES,
+                     build_transform(cfg, is_train=False), topk=2,
+                     max_wait_ms=20.0, backbone="ViT-Test")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def _url(srv, path):
+    host, port = srv.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(_url(srv, path), timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(srv, body, ctype):
+    req = urllib.request.Request(
+        _url(srv, "/predict"), data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_and_classes(server):
+    h = _get(server, "/healthz")
+    assert h["status"] == "ok" and h["backbone"] == "ViT-Test"
+    assert h["classes"] == 4 and h["max_batch"] == 8
+    assert _get(server, "/classes")["classnames"] == CLASSNAMES
+
+
+def test_single_image_matches_direct_predictor(server):
+    blob = _fixture_image_bytes(1)[0]
+    row = _post(server, blob, "image/png")
+
+    # the same pixels through the library API
+    img = server.decode_image(blob)
+    out = server.predictor.predict(img[None])
+    assert row["pred"] == CLASSNAMES[int(out["preds"][0])]
+    assert row["confidence"] == pytest.approx(
+        float(out["confidences"][0]), abs=1e-5)
+    assert len(row["topk"]) == 2
+    assert row["topk"][0]["prob"] >= row["topk"][1]["prob"]
+
+
+def test_json_batch_matches_direct_predictor(server):
+    blobs = _fixture_image_bytes(3)
+    body = json.dumps({
+        "images": [base64.b64encode(b).decode() for b in blobs]
+    }).encode()
+    rows = _post(server, body, "application/json")["predictions"]
+    assert len(rows) == 3
+
+    imgs = np.stack([server.decode_image(b) for b in blobs])
+    out = server.predictor.predict(imgs)
+    for i, row in enumerate(rows):
+        assert row["pred"] == CLASSNAMES[int(out["preds"][i])]
+        assert row["confidence"] == pytest.approx(
+            float(out["confidences"][i]), abs=1e-5)
+
+
+def test_concurrent_requests_coalesce_and_agree(server):
+    blobs = _fixture_image_bytes(3)
+    results = {}
+    errs = []
+
+    def hit(i):
+        try:
+            results[i] = _post(server, blobs[i % 3], "image/png")
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    before = len(server.batcher.batch_sizes)
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
+    # identical images -> identical predictions regardless of which
+    # coalesced batch each landed in
+    for i in range(6):
+        assert results[i] == results[i % 3]
+    sizes = list(server.batcher.batch_sizes)[before:]
+    assert sum(sizes) == 6
+    stats = _get(server, "/stats")
+    assert stats["requests"] >= 6 and stats["p50_latency_ms"] > 0
+
+
+def test_bad_requests(server):
+    # empty body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, b"", "application/octet-stream")
+    assert e.value.code == 400
+    # undecodable image
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, b"not an image", "image/jpeg")
+    assert e.value.code == 400
+    # bad path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        with urllib.request.urlopen(_url(server, "/nope"), timeout=30):
+            pass
+    assert e.value.code == 404
+
+
+def test_cli_http_flag_validation():
+    from clip_calibration_tpu import serve
+
+    # neither --images nor --http
+    with pytest.raises(SystemExit, match="--images .*--http"):
+        serve.main(["--classnames", "a", "b"])
