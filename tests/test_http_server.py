@@ -254,3 +254,35 @@ def test_cli_http_flag_validation():
     # neither --images nor --http
     with pytest.raises(SystemExit, match="--images .*--http"):
         serve.main(["--classnames", "a", "b"])
+
+
+def test_http_quantized_predictor_composition():
+    """The HTTP surface composes with a quantized predictor: serving a
+    Predictor(quantize='int8') over HTTP gives the same prediction as
+    calling it directly."""
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.transforms import build_transform
+    from clip_calibration_tpu.http_server import serve_http
+    from clip_calibration_tpu.serving import Predictor
+
+    pred = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                     batch_size=4, quantize="int8")
+    cfg = get_cfg_default()
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.SIZE = (32, 32)
+    srv = serve_http(":0", pred, CLASSNAMES,
+                     build_transform(cfg, is_train=False),
+                     max_wait_ms=5.0, backbone="ViT-Test")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        blob = _fixture_image_bytes(1)[0]
+        row = _post(srv, blob, "image/png")
+        out = pred.predict(srv.decode_image(blob)[None])
+        assert row["pred"] == CLASSNAMES[int(out["preds"][0])]
+        assert row["confidence"] == pytest.approx(
+            float(out["confidences"][0]), abs=1e-5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)

@@ -225,11 +225,12 @@ def test_serve_cli_quantize(tmp_path):
               "--checkpoint-dir", str(tmp_path), "--quantize", "int8"])
 
 
-def test_quantized_sharded_serving_matches_single():
-    """quantize='int8' composes with SPMD + tensor-parallel serving:
-    int8 leaves replicate over the mesh, dequant happens inside the
-    partitioned program, results match the single-device quantized
-    path exactly."""
+@pytest.mark.parametrize("mode", ["int8", "w8a8"])
+def test_quantized_sharded_serving_matches_single(mode):
+    """Quantization composes with SPMD + tensor-parallel serving:
+    int8 leaves replicate over the mesh, dequant (or the int8 x int8
+    dot + rescale, 'w8a8') happens inside the partitioned program,
+    results match the single-device quantized path exactly."""
     import jax
 
     from clip_calibration_tpu.parallel.mesh import make_mesh
@@ -241,9 +242,9 @@ def test_quantized_sharded_serving_matches_single():
 
     images, _ = _test_images({0, 1})
     single = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
-                       batch_size=8, quantize="int8")
+                       batch_size=8, quantize=mode)
     sharded = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
-                        batch_size=8, quantize="int8", mesh=mesh)
+                        batch_size=8, quantize=mode, mesh=mesh)
     out_s = single.predict(images)
     out_m = sharded.predict(images)
     np.testing.assert_allclose(out_m["probs"], out_s["probs"],
