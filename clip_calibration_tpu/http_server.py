@@ -200,6 +200,13 @@ class PredictionServer(ThreadingHTTPServer):
 class _Handler(BaseHTTPRequestHandler):
     server: PredictionServer  # typing aid
 
+    # Nagle + delayed-ACK stalls cost ~40 ms per response on small
+    # writes — an order of magnitude over the whole prediction path
+    disable_nagle_algorithm = True
+    # keep-alive: concurrent clients reuse connections instead of a
+    # TCP handshake per prediction
+    protocol_version = "HTTP/1.1"
+
     # quiet per-request stderr logging; /stats carries the counters
     def log_message(self, fmt, *args):  # noqa: D102
         pass
