@@ -107,6 +107,16 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
         return jnp.dot(x, w.astype(x.dtype))
     if qmode == "dequant":
         return jnp.dot(x, dequantize(w, x.dtype))
+    if qmode == "w8a8_kernel":
+        # explicit Mosaic int8 kernel instead of XLA's int8 dot (which
+        # measured below bf16 rate — docs/ROOFLINE.md); same math. On
+        # non-TPU backends fall through to the XLA branch (pallas
+        # compiled mode is TPU-only; mirrors ops/attention._use_pallas)
+        if jax.default_backend() == "tpu":
+            from .pallas_int8_matmul import w8a8_matmul
+
+            return w8a8_matmul(x, w["int8"], w["scale"])
+        qmode = "w8a8"
     assert qmode == "w8a8", qmode
     xq, xs = quantize_activations_int8(x)
     acc = jax.lax.dot_general(

@@ -97,11 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh shape, e.g. '8' (DP) or '2,4' "
                         "(DP x tensor-parallel towers)")
     p.add_argument("--preprocess-on-device", action="store_true")
-    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "w8a8", "w8a8_kernel"],
                    help="int8 vision tower (ops/quant.py): 'int8' = "
                         "weight-only (half the HBM weight footprint/"
-                        "bandwidth), 'w8a8' = full int8 matmuls (MXU "
-                        "double-rate); zero-shot/--coop-prompt ViT paths")
+                        "bandwidth), 'w8a8' = full int8 matmuls, "
+                        "'w8a8_kernel' = int8 matmuls via the explicit "
+                        "Mosaic kernel (pallas_int8_matmul.py; XLA "
+                        "fallback off-TPU); zero-shot/--coop-prompt "
+                        "ViT paths")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="config overrides KEY VALUE ... (trainer builds)")

@@ -109,21 +109,24 @@ class Predictor:
             backbone, "float32" if precision == "fp32" else "bfloat16")
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
-        if quantize not in (None, "int8", "w8a8"):
+        if quantize not in (None, "int8", "w8a8", "w8a8_kernel"):
             raise ValueError(f"quantize={quantize!r}: expected None, "
-                             f"'int8' or 'w8a8'")
+                             f"'int8', 'w8a8' or 'w8a8_kernel'")
         if quantize is not None:
             # int8 on the VISION tower (the per-request hot path):
             # "int8" = weight-only — halves its HBM weight footprint/
             # bandwidth, dequant fused into each layer's matmul;
             # "w8a8" additionally quantizes activations per row and
-            # runs the MXU's double-rate int8 matmuls (ops/quant.py).
-            # The text tower stays full precision — it encodes once,
-            # right below, so the class features are exact.
+            # runs int8 x int8 matmuls ("w8a8_kernel": via the explicit
+            # Mosaic kernel, ops/pallas_int8_matmul.py — XLA fallback
+            # off-TPU). The text tower stays full precision — it
+            # encodes once, right below, so the class features are
+            # exact.
             from .ops.quant import quantize_clip_params
             self.params = quantize_clip_params(self.params)
         self.quantize = quantize
-        qmode = "w8a8" if quantize == "w8a8" else "dequant"
+        qmode = quantize if quantize in ("w8a8", "w8a8_kernel") \
+            else "dequant"
 
         if _text_features is None:
             prompts = [template.format(c.replace("_", " "))

@@ -250,3 +250,36 @@ def test_quantized_sharded_serving_matches_single(mode):
     np.testing.assert_allclose(out_m["probs"], out_s["probs"],
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(out_m["preds"], out_s["preds"])
+
+
+def test_qdot_w8a8_kernel_cpu_fallback():
+    """qmode='w8a8_kernel' == 'w8a8' off-TPU (the kernel path engages
+    on the TPU backend only — compiled pallas is TPU-only; mirrors
+    ops/attention's backend dispatch). Bit-equality, not closeness:
+    the fallback IS the w8a8 branch."""
+    import jax.numpy as jnp
+
+    from clip_calibration_tpu.ops.quant import qdot, quantize_int8
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 96)).astype(np.float32))
+    wq = quantize_int8(jnp.asarray(
+        rng.normal(size=(96, 80)).astype(np.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(qdot(x, wq, qmode="w8a8_kernel")),
+        np.asarray(qdot(x, wq, qmode="w8a8")))
+
+
+def test_predictor_w8a8_kernel_cpu_fallback():
+    """Predictor(quantize='w8a8_kernel') serves identically to 'w8a8'
+    off-TPU, end to end."""
+    from clip_calibration_tpu.serving import Predictor
+
+    images, _ = _test_images({0, 1})
+    a = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                  batch_size=8, quantize="w8a8")
+    b = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                  batch_size=8, quantize="w8a8_kernel")
+    out_a, out_b = a.predict(images), b.predict(images)
+    np.testing.assert_array_equal(out_a["preds"], out_b["preds"])
+    np.testing.assert_array_equal(out_a["probs"], out_b["probs"])
