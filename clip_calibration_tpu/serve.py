@@ -255,6 +255,9 @@ def main(argv=None) -> int:
                              "knob; HTTP mode decodes per request "
                              "host-side")
         from .http_server import serve_http
+        # pre-warm: pay the first-compile (20-40 s cold on TPU) before
+        # accepting traffic, not on the first client's request
+        pred.predict(np.zeros((1, resolution, resolution, 3), np.uint8))
         server = serve_http(
             args.http, pred, classnames,
             _host_transform(args, resolution), topk=args.topk,
