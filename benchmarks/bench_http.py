@@ -99,6 +99,7 @@ def _run_direct(pred, resolution: int, n_clients: int,
                 b.submit(imgs[(i + r) % len(imgs)]).result(timeout=300)
 
         client(0, 2)  # compile + warmup
+        skip = len(b.snapshot_sizes())  # drop ALL warmup batches
         threads = [threading.Thread(target=client, args=(i, per_client))
                    for i in range(n_clients)]
         t0 = time.perf_counter()
@@ -107,7 +108,7 @@ def _run_direct(pred, resolution: int, n_clients: int,
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
-        sizes = list(b.batch_sizes)[1:]  # drop the warmup batch
+        sizes = b.snapshot_sizes()[skip:]
         return (n_clients * per_client / dt,
                 round(float(np.mean(sizes)), 2) if sizes else None)
     finally:
@@ -159,8 +160,9 @@ def main(argv):
         t.start()
         try:
             _run_load(url, blobs, 4, 2)  # warmup: compile + cache
+            skip = len(srv.batcher.snapshot_sizes())
             rate = _run_load(url, blobs, n_clients, per_client)
-            sizes = list(srv.batcher.batch_sizes)
+            sizes = srv.batcher.snapshot_sizes()[skip:]
             print(json.dumps({
                 "backbone": backbone, "mode": label,
                 "measurement": "http",
@@ -170,7 +172,7 @@ def main(argv):
                 "max_wait_ms": max_wait_ms,
                 "requests_per_s": round(rate, 1),
                 "mean_batch": round(float(np.mean(sizes)), 2)
-                if sizes else None,
+                if len(sizes) else None,
             }), flush=True)
         finally:
             srv.shutdown()

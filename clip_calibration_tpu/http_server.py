@@ -74,22 +74,46 @@ class DynamicBatcher:
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
         self._q: Queue = Queue()
-        self._lock = threading.Lock()
-        self.batch_sizes: deque = deque(maxlen=1024)
+        self._closed = False
+        # appended by the worker thread, read by handler threads
+        # (/stats) — deque appends are atomic but iteration during an
+        # append is not, so snapshots go through the lock
+        self._sizes_lock = threading.Lock()
+        self._batch_sizes: deque = deque(maxlen=1024)
         self._worker = threading.Thread(
             target=self._loop, name="dynamic-batcher", daemon=True)
         self._worker.start()
 
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one [H, W, 3] uint8 image; the Future resolves to a
-        dict with this image's row of every predictor output."""
+        dict with this image's row of every predictor output. Raises
+        after ``close()`` (a racing submit may instead resolve with the
+        shutdown error below)."""
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(image), fut))
         return fut
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(self._SENTINEL)
         self._worker.join(timeout=10)
+        # fail fast for requests that raced the sentinel into the queue
+        # — otherwise their Futures would hang until the caller timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except Empty:
+                return
+            if item is not self._SENTINEL:
+                item[1].set_exception(
+                    RuntimeError("server shut down before this request "
+                                 "was scheduled"))
+
+    def snapshot_sizes(self) -> list:
+        with self._sizes_lock:
+            return list(self._batch_sizes)
 
     def _loop(self) -> None:
         while True:
@@ -113,16 +137,21 @@ class DynamicBatcher:
             self._flush(items)
 
     def _flush(self, items) -> None:
-        self.batch_sizes.append(len(items))
+        with self._sizes_lock:
+            self._batch_sizes.append(len(items))
+        # EVERYTHING routes through the futures — an exception escaping
+        # here would kill the worker and hang every later request
         try:
             batch = np.stack([img for img, _ in items])
             out = self._predict(batch)
+            rows = [{k: v[i] for k, v in out.items()}
+                    for i in range(len(items))]
         except Exception as e:  # noqa: BLE001 — route to the waiters
             for _, fut in items:
                 fut.set_exception(e)
             return
-        for i, (_, fut) in enumerate(items):
-            fut.set_result({k: v[i] for k, v in out.items()})
+        for row, (_, fut) in zip(rows, items):
+            fut.set_result(row)
 
 
 class PredictionServer(ThreadingHTTPServer):
@@ -149,6 +178,8 @@ class PredictionServer(ThreadingHTTPServer):
         self.topk = max(1, min(topk, len(self.classnames)))
         self.backbone = backbone
         self.started = time.time()
+        # mutated by concurrent handler threads, read by /stats
+        self._stats_lock = threading.Lock()
         self.requests = 0
         self.latencies_ms: deque = deque(maxlen=1024)
         self.batcher = DynamicBatcher(
@@ -181,11 +212,18 @@ class PredictionServer(ThreadingHTTPServer):
                            for j in order]
         return out
 
+    def record_request(self, n_rows: int, latency_ms: float) -> None:
+        with self._stats_lock:
+            self.requests += n_rows
+            self.latencies_ms.append(latency_ms)
+
     def stats(self) -> dict:
-        lat = sorted(self.latencies_ms)
-        sizes = list(self.batcher.batch_sizes)
+        with self._stats_lock:
+            lat = sorted(self.latencies_ms)
+            requests = self.requests
+        sizes = self.batcher.snapshot_sizes()
         return {
-            "requests": self.requests,
+            "requests": requests,
             "batches": len(sizes),
             "mean_batch": round(float(np.mean(sizes)), 2) if sizes
             else None,
@@ -234,14 +272,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"no such path: {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802 — stdlib API
+        # ALWAYS drain the body first: on keep-alive connections
+        # (protocol 1.1) an unread body would be parsed as the next
+        # request line, desyncing every later request on the socket
+        length = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(length)
         if self.path != "/predict":
             self._json(404, {"error": f"no such path: {self.path}"})
             return
         s = self.server
         t0 = time.monotonic()
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            data = self.rfile.read(length)
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             if ctype == "application/json":
                 payload = json.loads(data)
@@ -268,8 +309,7 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — model error surface
             self._json(500, {"error": f"prediction failed: {e!r}"})
             return
-        s.requests += len(rows)
-        s.latencies_ms.append((time.monotonic() - t0) * 1e3)
+        s.record_request(len(rows), (time.monotonic() - t0) * 1e3)
         if ctype == "application/json":
             self._json(200, {"predictions": rows})
         else:

@@ -71,7 +71,13 @@ def int8_matmul(x: jnp.ndarray, w: jnp.ndarray, bm: int = 256,
     K2, N = w.shape
     if K != K2:
         raise ValueError(f"contraction mismatch: {x.shape} @ {w.shape}")
-    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    # shrink blocks for small problems but NEVER below Mosaic tile
+    # alignment (int8 sublane 32 / lane 128; bk is a lane dim of x and
+    # a sublane dim of w -> 128) — a ragged block like (33, 70) would
+    # fail to lower on the chip even though interpret mode accepts it
+    bm = min(bm, -(-M // 32) * 32)
+    bn = min(bn, -(-N // 128) * 128)
+    bk = min(bk, -(-K // 128) * 128)
     xp = _pad_to(_pad_to(x, 0, bm), 1, bk)
     wp = _pad_to(_pad_to(w, 0, bk), 1, bn)
     Mp, Kp = xp.shape

@@ -112,6 +112,13 @@ class Predictor:
         if quantize not in (None, "int8", "w8a8", "w8a8_kernel"):
             raise ValueError(f"quantize={quantize!r}: expected None, "
                              f"'int8', 'w8a8' or 'w8a8_kernel'")
+        if quantize == "w8a8_kernel" and mesh is not None:
+            # a pallas custom call cannot be GSPMD-partitioned inside
+            # the sharded predict program (ops/attention disables its
+            # kernel under tp for the same reason)
+            raise ValueError(
+                "quantize='w8a8_kernel' does not compose with a mesh; "
+                "use 'w8a8' (XLA int8 dots partition fine) or 'int8'")
         if quantize is not None:
             # int8 on the VISION tower (the per-request hot path):
             # "int8" = weight-only — halves its HBM weight footprint/

@@ -121,9 +121,13 @@ def _fixture_image_bytes(n=3):
 @pytest.fixture(scope="module")
 def server():
     """ViT-Test zero-shot server on an ephemeral port (module-scoped:
-    one compile)."""
+    one compile). Sets CLIP_CHECKPOINT_DIR manually (module-scoped
+    fixtures cannot use the function-scoped monkeypatch) and restores
+    it on teardown so the fixture path cannot leak into other
+    modules."""
     import os
 
+    prev = os.environ.get("CLIP_CHECKPOINT_DIR")
     os.environ["CLIP_CHECKPOINT_DIR"] = osp.join(FIX, "weights")
     from clip_calibration_tpu.http_server import serve_http
     from clip_calibration_tpu.serving import Predictor
@@ -147,6 +151,10 @@ def server():
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+        if prev is None:
+            os.environ.pop("CLIP_CHECKPOINT_DIR", None)
+        else:
+            os.environ["CLIP_CHECKPOINT_DIR"] = prev
 
 
 def _url(srv, path):
@@ -215,7 +223,7 @@ def test_concurrent_requests_coalesce_and_agree(server):
         except Exception as e:  # noqa: BLE001 — surfaced below
             errs.append(e)
 
-    before = len(server.batcher.batch_sizes)
+    before = len(server.batcher.snapshot_sizes())
     threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
     for t in threads:
         t.start()
@@ -226,7 +234,7 @@ def test_concurrent_requests_coalesce_and_agree(server):
     # coalesced batch each landed in
     for i in range(6):
         assert results[i] == results[i % 3]
-    sizes = list(server.batcher.batch_sizes)[before:]
+    sizes = server.batcher.snapshot_sizes()[before:]
     assert sum(sizes) == 6
     stats = _get(server, "/stats")
     assert stats["requests"] >= 6 and stats["p50_latency_ms"] > 0
@@ -286,3 +294,66 @@ def test_http_quantized_predictor_composition():
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_keepalive_survives_bad_path_post(server):
+    """A 404'd POST must drain its body: on a keep-alive connection the
+    next request on the SAME socket must still parse (an unread body
+    would desync the HTTP framing)."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        blob = _fixture_image_bytes(1)[0]
+        conn.request("POST", "/nope", body=blob,
+                     headers={"Content-Type": "image/png"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same connection, now a real prediction
+        conn.request("POST", "/predict", body=blob,
+                     headers={"Content-Type": "image/png"})
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert "pred" in json.loads(r2.read())
+    finally:
+        conn.close()
+
+
+def test_batcher_close_rejects_new_and_fails_stragglers():
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    def predict(batch):
+        return {"preds": np.zeros(batch.shape[0], np.int64)}
+
+    b = DynamicBatcher(predict, max_batch=4, max_wait_ms=5.0)
+    b.submit(np.zeros((2, 2, 3), np.uint8)).result(timeout=10)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((2, 2, 3), np.uint8))
+
+
+def test_batcher_survives_bad_predictor_output():
+    """A predictor output that is not row-indexable must fail THAT
+    batch's futures, not kill the worker thread (later requests would
+    hang forever otherwise)."""
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    calls = []
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        if len(calls) == 1:
+            return {"preds": 3}  # scalar: not indexable per row
+        return {"preds": np.zeros(batch.shape[0], np.int64)}
+
+    b = DynamicBatcher(predict, max_batch=2, max_wait_ms=5.0)
+    try:
+        with pytest.raises(Exception):
+            b.submit(np.zeros((2, 2, 3), np.uint8)).result(timeout=10)
+        # the worker must still be alive and serving
+        out = b.submit(np.zeros((2, 2, 3), np.uint8)).result(timeout=10)
+        assert int(out["preds"]) == 0
+    finally:
+        b.close()

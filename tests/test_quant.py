@@ -283,3 +283,19 @@ def test_predictor_w8a8_kernel_cpu_fallback():
     out_a, out_b = a.predict(images), b.predict(images)
     np.testing.assert_array_equal(out_a["preds"], out_b["preds"])
     np.testing.assert_array_equal(out_a["probs"], out_b["probs"])
+
+
+def test_w8a8_kernel_rejects_mesh():
+    """A pallas custom call cannot be GSPMD-partitioned inside the
+    sharded predict program — the composition is rejected up front
+    (use 'w8a8'/'int8' under a mesh)."""
+    import jax
+
+    from clip_calibration_tpu.parallel.mesh import make_mesh
+    from clip_calibration_tpu.serving import Predictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    with pytest.raises(ValueError, match="w8a8_kernel.*mesh"):
+        Predictor("ViT-Test", CLASSNAMES, quantize="w8a8_kernel",
+                  mesh=make_mesh((4, 2), ("data", "model")))
