@@ -255,9 +255,13 @@ def main(argv=None) -> int:
                              "knob; HTTP mode decodes per request "
                              "host-side")
         from .http_server import serve_http
-        # pre-warm: pay the first-compile (20-40 s cold on TPU) before
-        # accepting traffic, not on the first client's request
+        # pre-warm: pay the first-compiles (20-40 s cold on TPU) before
+        # accepting traffic, not on the first clients' requests — the
+        # lone-request bucket and the full coalesced batch (intermediate
+        # power-of-two buckets compile on first use)
         pred.predict(np.zeros((1, resolution, resolution, 3), np.uint8))
+        pred.predict(np.zeros((args.batch_size, resolution, resolution,
+                               3), np.uint8))
         server = serve_http(
             args.http, pred, classnames,
             _host_transform(args, resolution), topk=args.topk,

@@ -43,19 +43,32 @@ _MAX_IN_FLIGHT = 4
 
 
 def _drain_batched(images: np.ndarray, batch_size: int, dispatch,
-                   fetch) -> np.ndarray:
+                   fetch, bucket: bool = False) -> np.ndarray:
     """Shared serving drive loop: pad each chunk to ``batch_size``
     (static shapes — jit never retraces), dispatch asynchronously with a
     bounded in-flight window (queued input buffers never accumulate on
-    device), fetch fp32 rows, trim the pad."""
+    device), fetch fp32 rows, trim the pad.
+
+    ``bucket``: pad a SHORT chunk to the next power of two instead of
+    the full ``batch_size`` — a lone request then costs a 1-image
+    encode, not a ``batch_size``-image one (the latency case the HTTP
+    server's micro-batching feeds). Each bucket is one extra compile
+    (cached); full chunks are untouched. Off for sharded predictors:
+    every batch must stay divisible by the data-axis size."""
     n = images.shape[0]
     pending, done = [], []
     for i in range(0, n, batch_size):
         batch = images[i:i + batch_size]
-        if batch.shape[0] < batch_size:
-            pad = np.repeat(batch[-1:], batch_size - batch.shape[0],
-                            axis=0)
-            batch = np.concatenate([batch, pad])
+        short = batch.shape[0]
+        if short < batch_size:
+            target = batch_size
+            if bucket:
+                target = 1
+                while target < short:
+                    target *= 2
+            if short < target:
+                pad = np.repeat(batch[-1:], target - short, axis=0)
+                batch = np.concatenate([batch, pad])
         pending.append(dispatch(batch))
         if len(pending) >= _MAX_IN_FLIGHT:
             done.append(fetch(pending.pop(0)))
@@ -306,7 +319,8 @@ class Predictor:
             images, self.batch_size,
             lambda b: self._predict_step(self.params, self.text_features,
                                          jnp.asarray(b), scale, conf),
-            lambda p: np.asarray(p, np.float32))
+            lambda p: np.asarray(p, np.float32),
+            bucket=self.mesh is None)
         preds = probs.argmax(axis=1)
         return {"probs": probs, "preds": preds,
                 "confidences": probs.max(axis=1)}

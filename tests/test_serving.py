@@ -616,3 +616,23 @@ def test_build_serving_trainer_rejects_conflicting_cfg():
     with pytest.raises(ValueError, match="opts"):
         build_serving_trainer(BASE, opts=["INPUT.SIZE", "(32, 32)"],
                               cfg=cfg)
+
+
+def test_bucketed_short_batches_match_full_padding():
+    """Short chunks pad to the next power-of-two bucket (lone-request
+    latency: a 1-image request costs a 1-image encode, not a
+    batch_size one) — results identical to full padding for every
+    ragged N."""
+    from clip_calibration_tpu.serving import Predictor
+
+    images, _ = _test_images({0, 1, 2, 3})
+    pred = Predictor("ViT-Test", CLASSNAMES, precision="fp32",
+                     batch_size=8)
+    full = pred.predict(images)
+    for n in (1, 3, 5, 8, 11):
+        if n > len(images):
+            break
+        out = pred.predict(images[:n])
+        np.testing.assert_array_equal(out["preds"], full["preds"][:n])
+        np.testing.assert_allclose(out["probs"], full["probs"][:n],
+                                   rtol=0, atol=1e-6)
