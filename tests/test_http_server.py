@@ -357,3 +357,54 @@ def test_batcher_survives_bad_predictor_output():
         assert int(out["preds"]) == 0
     finally:
         b.close()
+
+
+def test_http_over_tempscaling_trainer_checkpoint(tmp_path):
+    """The HTTP surface composes with a TrainerPredictor: a calibrated
+    TempScaling checkpoint serves over HTTP with predictions matching
+    the direct library call (the calibrated production shape —
+    tempered probabilities through the trainer's own inference)."""
+    import jax.numpy as jnp
+
+    from clip_calibration_tpu.config import get_cfg_default
+    from clip_calibration_tpu.data.transforms import build_transform
+    from clip_calibration_tpu.http_server import serve_http
+    from clip_calibration_tpu.serving import (TrainerPredictor,
+                                              build_serving_trainer)
+
+    BASE = CLASSNAMES[:2]
+    opts = ["CALIBRATION.SCALING.BASE_LEARNER", "CoOp",
+            "CALIBRATION.SCALING.BASE_DIR",
+            osp.join(FIX, "coop_model"),
+            "CALIBRATION.SCALING.BASE_EPOCH", "3",
+            "TRAINER.COOP.N_CTX", "4", "INPUT.SIZE", "(32, 32)",
+            "MODEL.PRECISION", "fp32", "TRAINER.COOP.PREC", "fp32"]
+    fitted = build_serving_trainer(BASE, trainer_name="TempScaling",
+                                   backbone="ViT-Test", opts=opts)
+    fitted._models["scale_learner"]["params"]["scale"] = jnp.asarray(
+        np.log(2.5), jnp.float32)
+    ck = str(tmp_path / "calibrated")
+    fitted.save_model(0, ck)
+    pred = TrainerPredictor.from_checkpoint(
+        ck, BASE, trainer_name="TempScaling", backbone="ViT-Test",
+        opts=opts, epoch=1, batch_size=4)
+
+    cfg = get_cfg_default()
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.SIZE = (32, 32)
+    srv = serve_http(":0", pred, BASE,
+                     build_transform(cfg, is_train=False),
+                     max_wait_ms=5.0, backbone="ViT-Test")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        blob = _fixture_image_bytes(1)[0]
+        row = _post(srv, blob, "image/png")
+        out = pred.predict(srv.decode_image(blob)[None])
+        assert row["pred"] == BASE[int(out["preds"][0])]
+        assert row["confidence"] == pytest.approx(
+            float(out["confidences"][0]), abs=1e-5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
