@@ -408,3 +408,63 @@ def test_http_over_tempscaling_trainer_checkpoint(tmp_path):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_batcher_fuzz_concurrency():
+    """Stress invariants under randomized concurrent load: every
+    submitted request resolves exactly once with ITS OWN row, batches
+    never exceed max_batch, and the size ledger accounts for every
+    request — across jittered submit timing and a predictor that
+    sometimes fails."""
+    import random
+    import time as _time
+
+    from clip_calibration_tpu.http_server import DynamicBatcher
+
+    rng = random.Random(0)
+
+    def predict(batch):
+        if batch[0, 0, 0, 1] == 255:  # poison marker
+            raise ValueError("poisoned batch")
+        _time.sleep(rng.random() * 0.003)
+        return {"echo": batch[:, 0, 0, 0].astype(np.int64)}
+
+    b = DynamicBatcher(predict, max_batch=5, max_wait_ms=3.0)
+    results, errors = {}, {}
+
+    def client(cid, n):
+        for r in range(n):
+            val = (cid * 17 + r) % 251
+            img = np.full((2, 2, 3), val, np.uint8)
+            poison = rng.random() < 0.1
+            if poison:
+                img[0, 0, 1] = 255
+            _time.sleep(rng.random() * 0.002)
+            try:
+                out = b.submit(img).result(timeout=30)
+                results[(cid, r)] = (int(out["echo"]), val)
+            except ValueError:
+                errors[(cid, r)] = True
+            except Exception:
+                # a non-poisoned request can land in a poisoned batch —
+                # that still counts as a resolved (failed) future
+                errors[(cid, r)] = True
+
+    try:
+        threads = [threading.Thread(target=client, args=(c, 12))
+                   for c in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads)
+        # every request resolved exactly once
+        assert len(results) + len(errors) == 6 * 12
+        # each success carries its own value (no cross-request routing)
+        for got, want in results.values():
+            assert got == want
+        sizes = b.snapshot_sizes()
+        assert max(sizes) <= 5
+        assert sum(sizes) == 6 * 12
+    finally:
+        b.close()
