@@ -1,15 +1,17 @@
 """Pallas int8 x int8 -> int32 tiled matmul (MXU double-rate probe).
 
-The v5e datasheet advertises 394 int8 TOPS vs 197 bf16 TFLOP/s, but
-through XLA a plain ``lax.dot_general(int8, int8, int32)`` measured
-SLOWER than bf16 on this chip (140 vs 163 T/s — docs/ROOFLINE.md
-"int8 weights"), leaving the double-rate path unreachable from the
-w8a8 serving mode (``ops/quant.py::qdot``). This kernel asks the
-question one level down: does an explicit Mosaic int8 matmul engage
-the native rate? ``benchmarks/probe_int8_mxu.py`` measures it against
-the XLA int8 and bf16 paths on the chip; if it wins, ``qdot`` grows a
-kernel-backed w8a8 path — if not, the rejection is pinned at the
-Mosaic level too and the serving story stays weight-only int8.
+The v5e datasheet advertises 394 int8 TOPS vs 197 bf16 TFLOP/s.
+Round 3 believed XLA's ``lax.dot_general(int8, int8, int32)`` missed
+that rate and built this kernel to ask one level down; the round-4
+probe fix (``benchmarks/probe_int8_mxu.py`` — the round-3 measurement
+was strength-reduced away by XLA's dot+slice simplifier) shows XLA's
+int8 dot DOES engage the double rate (1.6-2.2x bf16 at the serving
+GEMM shapes, docs/ROOFLINE.md "int8 weights") while this kernel tops
+out at ~272 TOP/s on square shapes and falls behind at skinny-K
+serving shapes. So ``qdot``'s default w8a8 backend is XLA's own int8
+dot; this kernel remains as the opt-in ``w8a8_kernel`` mode and the
+probe's third contender — the measured Mosaic reference point for
+future block-config work.
 
 Standard K-innermost accumulation grid (guide: "Patterns: Quantization
 Kernels" + matmul skeleton): grid (M/bm, N/bn, K/bk), int32

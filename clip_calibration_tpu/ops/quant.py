@@ -90,15 +90,16 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
       into the operand read — weights cross HBM as int8, the MXU runs
       bf16 (bandwidth win at small batch).
     - int8 pair + ``qmode="w8a8"``: activations quantize dynamically
-      per row and the dot runs int8 x int8 -> int32, targeting the
-      MXU's double-rate int8 path (394 vs 197 TOPS on the v5e
-      datasheet); the fp32 rescale (row scale x column scale) folds
-      into the output epilogue. NOTE the win is contingent on XLA
-      actually engaging that path: a round-3 microbenchmark
-      (docs/ROOFLINE.md "int8 weights") measured a plain int8 x int8
-      ``dot_general`` at 140 TOP/s vs 163 TFLOP/s bf16 on this chip —
-      bench.py's ``quant_serving`` key records what the full tower
-      actually does; prefer weight-only ``dequant`` unless it shows >1x.
+      per row and the dot runs int8 x int8 -> int32 on the MXU's
+      double-rate int8 path (measured 1.6-2.2x bf16 at the serving
+      GEMM shapes — docs/ROOFLINE.md "int8 weights", round-4 corrected
+      probe); the fp32 rescale (row scale x column scale) folds into
+      the output epilogue. NOTE the per-GEMM overhead (the dynamic
+      activation-quantize pass + int32 rescale) eats the raw-GEMM win
+      in the full tower — bench.py's ``quant_serving`` key records
+      what the tower actually does and
+      ``benchmarks/probe_w8a8_decompose.py`` locates the crossover per
+      weight group; prefer weight-only ``dequant`` unless it shows >1x.
 
     Contracts x's last axis with w's first; any leading x batch dims
     ride along (matching ``jnp.dot`` for 2D w).
