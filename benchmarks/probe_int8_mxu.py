@@ -63,6 +63,16 @@ def _rate_tops(matmul, make_operands, size: int) -> float:
        ~30 ms per-dispatch tunnel RTT is ~3x the compute of a 10-iter
        chain, so absolute chain timings are RTT-bound; the n_long -
        n_short delta cancels the constant per-dispatch cost.
+
+    Two known biases, both conservative to the int8/bf16 RATIOS this
+    probe exists for but visible in the ABSOLUTE rows: (a) rule 1's
+    full-output sum is an M*N fp32 reduction per iteration counted as
+    zero ops, deflating reported TOP/s (same tax on every contender at
+    a given shape, so ratios cancel); (b) the delta>0 filter drops
+    noise-dominated trials asymmetrically, so when RTT noise is
+    comparable to the chain-length delta the surviving median can skew
+    high. Treat absolute rows vs datasheet peaks as +-15%
+    (docs/ROOFLINE.md does); trust the ratios.
     """
 
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -230,8 +230,17 @@ def transformer(
     remat: bool = False,
     tp=None,
     qmode: str = "dequant",
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     """Scan the stacked residual blocks over x [B, L, D].
+
+    collect_act_stats: also return per-layer absmax statistics of each
+    quantized-matmul input site (qkv input, out-proj context, MLP fc
+    and proj inputs) as [n_layers] arrays stacked by the scan — the
+    calibration capture for static-scale w8a8 serving
+    (``ops/quant.calibrate_image_act_scales``). Stats reduce over REAL
+    tokens only (padding rows are excluded). Return becomes
+    ``(out, stats)``.
 
     tp: optional ``parallel.tp.TowerTP`` — tensor-parallel execution:
     attention heads and the MLP hidden feature axis shard over the
@@ -287,12 +296,18 @@ def transformer(
         # qdot: plain arrays run the ordinary dot; int8 serving pairs
         # (ops/quant.py) dequantize per scanned layer slice ("dequant")
         # or run the MXU int8 path ("w8a8")
-        h = h + multi_head_attention(
-            layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"]),
-            p["attn"]["wqkv"], p["attn"]["bqkv"],
+        ln1 = layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"])
+        attn = multi_head_attention(
+            ln1, p["attn"]["wqkv"], p["attn"]["bqkv"],
             p["attn"]["wo"], p["attn"]["bo"],
-            n_heads, mask, tp=tp, qmode=qmode)
+            n_heads, mask, tp=tp, qmode=qmode,
+            return_ctx=collect_act_stats)
+        ctx = None
+        if collect_act_stats:
+            attn, ctx = attn
+        h = h + attn
         y = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
+        fc_in = y
         y = qdot(y, p["mlp"]["w_fc"], qmode) \
             + p["mlp"]["b_fc"].astype(y.dtype)
         if tp is not None:
@@ -301,9 +316,17 @@ def transformer(
             # projection contracts the sharded dim (one psum)
             y = tp.shard_hidden(y)
         y = quick_gelu(y)
+        proj_in = y
         y = qdot(y, p["mlp"]["w_proj"], qmode) \
             + p["mlp"]["b_proj"].astype(y.dtype)
-        return h + y, None
+        stats = None
+        if collect_act_stats:
+            def amax(a):
+                return jnp.max(jnp.abs(a[:, :L].astype(jnp.float32)))
+            stats = {"attn": {"wqkv": amax(ln1), "wo": amax(ctx)},
+                     "mlp": {"w_fc": amax(fc_in),
+                             "w_proj": amax(proj_in)}}
+        return h + y, stats
 
     if deep_prompts is None:
         prompts = jnp.zeros((n_layers, 0, x.shape[-1]), x.dtype)
@@ -318,8 +341,9 @@ def transformer(
 
     idxs = jnp.arange(n_layers)
     body_fn = jax.checkpoint(body) if remat else body
-    out, _ = jax.lax.scan(body_fn, x, (blocks, prompts, idxs))
-    return out[:, :L] if Lp != L else out
+    out, stats = jax.lax.scan(body_fn, x, (blocks, prompts, idxs))
+    out = out[:, :L] if Lp != L else out
+    return (out, stats) if collect_act_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -435,8 +459,15 @@ def encode_image(
     dtype=jnp.bfloat16,
     tp=None,
     qmode: str = "dequant",
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     """Vision tower. images: [B, H, W, 3] (NHWC, preprocessed).
+
+    collect_act_stats: also return absmax statistics of every quantized-
+    matmul input (patchified pixels, the per-layer block sites, the
+    ln_post output feeding ``proj``) for static-scale w8a8 calibration
+    (``ops/quant.calibrate_image_act_scales``); ViT only. Return becomes
+    ``(features, stats)``.
 
     shallow_prompts: [n_ctx, width] tokens appended after the positional
     embedding (VPT/IVLP/MaPLe shallow path, ``clip/model.py:404-408``).
@@ -446,6 +477,10 @@ def encode_image(
     parallel/tp.py).
     """
     if not cfg.is_vit:
+        if collect_act_stats:
+            raise ValueError(
+                "activation-scale calibration covers the ViT towers "
+                "only (int8 serving is ViT-only, ops/quant.py)")
         if tp is not None:
             raise ValueError(
                 "Tensor-parallel execution covers the ViT towers only; "
@@ -463,6 +498,9 @@ def encode_image(
                                        images.astype(dtype))
     vp = params["visual"]
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
+    stats = {}
+    if collect_act_stats:
+        stats["patch_kernel"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
     x = qdot(x, vp["patch_kernel"], qmode)
     cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype),
                            (x.shape[0], 1, x.shape[-1]))
@@ -477,8 +515,14 @@ def encode_image(
     x = transformer(vp["blocks"], x, cfg.vision_heads, None,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=False,
-                    tp=tp, qmode=qmode)
+                    tp=tp, qmode=qmode,
+                    collect_act_stats=collect_act_stats)
+    if collect_act_stats:
+        x, stats["blocks"] = x
     x = layer_norm(x[:, 0], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if collect_act_stats:
+        stats["proj"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return qdot(x, vp["proj"], qmode), stats
     return qdot(x, vp["proj"], qmode)
 
 

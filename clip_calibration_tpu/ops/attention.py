@@ -90,6 +90,7 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     tp=None,
     qmode: str = "dequant",
+    return_ctx: bool = False,
 ) -> jnp.ndarray:
     """Self-attention over [B, L, D].
 
@@ -108,6 +109,9 @@ def multi_head_attention(
       qmode: int8 execution mode for quantized projections
         (``ops/quant.qdot``); ignored for plain arrays. The score/PV
         contractions are activation x activation and stay bf16/fp32.
+      return_ctx: also return the pre-out-projection context [B, L, D]
+        (the ``wo`` matmul's input — the activation-scale calibration
+        capture site for static w8a8, ``ops/quant.py``).
     """
     from .quant import qdot
 
@@ -153,7 +157,8 @@ def multi_head_attention(
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         if tp is not None:
             out = tp.shard_concat(out)
-    return qdot(out, wo, qmode) + bo.astype(x.dtype)
+    final = qdot(out, wo, qmode) + bo.astype(x.dtype)
+    return (final, out) if return_ctx else final
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

@@ -89,17 +89,25 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
     - int8 pair + ``qmode="dequant"`` (weight-only): dequantize fused
       into the operand read — weights cross HBM as int8, the MXU runs
       bf16 (bandwidth win at small batch).
-    - int8 pair + ``qmode="w8a8"``: activations quantize dynamically
-      per row and the dot runs int8 x int8 -> int32 on the MXU's
-      double-rate int8 path (measured 1.6-2.2x bf16 at the serving
-      GEMM shapes — docs/ROOFLINE.md "int8 weights", round-4 corrected
-      probe); the fp32 rescale (row scale x column scale) folds into
-      the output epilogue. NOTE the per-GEMM overhead (the dynamic
-      activation-quantize pass + int32 rescale) eats the raw-GEMM win
-      in the full tower — bench.py's ``quant_serving`` key records
-      what the tower actually does and
-      ``benchmarks/probe_w8a8_decompose.py`` locates the crossover per
-      weight group; prefer weight-only ``dequant`` unless it shows >1x.
+    - int8 pair + ``qmode="w8a8"``: the dot runs int8 x int8 -> int32
+      on the MXU's double-rate int8 path (measured 1.6-2.2x bf16 at
+      the serving GEMM shapes — docs/ROOFLINE.md "int8 weights",
+      round-4 corrected probe); the fp32 rescale (activation scale x
+      column scale) folds into the output epilogue. Activations
+      quantize one of two ways:
+        * the pair carries an ``"act_scale"`` leaf (static, calibrated
+          — ``calibrate_image_act_scales`` + ``attach_act_scales``):
+          the quantize is a pure elementwise scale/round/cast that XLA
+          fuses into the producing op (LN/GELU writes int8 directly) —
+          near-zero extra HBM traffic. The round-5 decomposition
+          (docs/ROOFLINE.md) shows this is what makes w8a8 a net win.
+        * no ``act_scale``: dynamic symmetric per-row scales,
+          recomputed inside the jit. Calibration-free, but the abs-max
+          reduce forces an extra read-reduce-rewrite pass over the
+          activations before every GEMM — at batch 256 those passes
+          eat the entire double-rate win (measured 0.92x end-to-end,
+          ``benchmarks/probe_w8a8_decompose.py`` has the per-group
+          breakdown).
 
     Contracts x's last axis with w's first; any leading x batch dims
     ride along (matching ``jnp.dot`` for 2D w).
@@ -109,24 +117,34 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
     if qmode == "dequant":
         return jnp.dot(x, dequantize(w, x.dtype))
     if qmode == "w8a8_kernel":
-        # explicit Mosaic int8 kernel instead of XLA's int8 dot (which
-        # measured below bf16 rate — docs/ROOFLINE.md); same math. On
-        # non-TPU backends fall through to the XLA branch (pallas
-        # compiled mode is TPU-only; mirrors ops/attention._use_pallas)
+        # explicit Mosaic int8 kernel instead of XLA's int8 dot — kept
+        # as the opt-in Mosaic reference point; it measured BELOW XLA's
+        # int8 dot at every serving shape (docs/ROOFLINE.md round 4),
+        # so "w8a8" is the production int8 mode. On non-TPU backends
+        # fall through to the XLA branch (pallas compiled mode is
+        # TPU-only; mirrors ops/attention._use_pallas)
         if jax.default_backend() == "tpu":
             from .pallas_int8_matmul import w8a8_matmul
 
             return w8a8_matmul(x, w["int8"], w["scale"])
         qmode = "w8a8"
     assert qmode == "w8a8", qmode
-    xq, xs = quantize_activations_int8(x)
+    if "act_scale" in w:
+        # static calibrated scale: a per-(layer,)tensor scalar — the
+        # quantize has no reduction, so XLA fuses it into the producer
+        s = w["act_scale"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                      -127, 127).astype(jnp.int8)
+        xs = s
+    else:
+        xq, xs = quantize_activations_int8(x)
     acc = jax.lax.dot_general(
         xq, w["int8"],
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     # w["scale"] keeps the contraction axis as 1 ([1, O] / [L, 1, O]
-    # sliced to [1, O] in the scan); xs is [..., 1] — both broadcast
-    # over the [..., O] accumulator
+    # sliced to [1, O] in the scan); xs is [..., 1] (dynamic) or a
+    # scalar (static) — both broadcast over the [..., O] accumulator
     return (acc.astype(jnp.float32) * xs
             * w["scale"].reshape(w["scale"].shape[-1])).astype(x.dtype)
 
@@ -174,4 +192,57 @@ def quantize_clip_params(params: Dict[str, Any],
         t["text_projection"] = quantize_int8(t["text_projection"])
         t["blocks"] = _quantize_blocks(t["blocks"])
         new["text"] = t
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Static activation scales (calibrated w8a8)
+# ---------------------------------------------------------------------------
+
+def calibrate_image_act_scales(qparams: Dict[str, Any], cfg,
+                               images: jnp.ndarray):
+    """Per-site activation absmax of the vision tower over a
+    calibration batch, captured at every quantized-matmul input
+    (``models/clip.encode_image collect_act_stats=``).
+
+    ``images``: preprocessed fp [B, H, W, 3] at the model resolution
+    (NOT raw uint8 — calibrate through the same normalize the serving
+    path uses). Runs with the QUANTIZED weights in weight-only mode so
+    the captured ranges include weight-rounding effects. Returns the
+    stats pytree ``attach_act_scales`` consumes (scalars; [L] arrays
+    for the stacked block sites).
+    """
+    from ..models import clip as M
+
+    def run(p, x):
+        _, stats = M.encode_image(p, cfg, x, qmode="dequant",
+                                  collect_act_stats=True)
+        return stats
+
+    return jax.jit(run)(qparams, images)
+
+
+def attach_act_scales(qparams: Dict[str, Any], stats) -> Dict[str, Any]:
+    """Copy of a quantized param pytree with static ``act_scale``
+    leaves (absmax/127, zero-guarded) on every vision-tower quantized
+    weight — flips ``qdot``'s w8a8 branch from dynamic per-row to
+    static calibrated quantization. Out-of-range activations at serve
+    time clip to ±127 scale steps (standard static-quant semantics);
+    validate agreement with ``benchmarks/bench_quant.py``."""
+    def scale(amax):
+        amax = jnp.asarray(amax, jnp.float32)
+        return jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    new = dict(qparams)
+    v = dict(qparams["visual"])
+    v["patch_kernel"] = dict(v["patch_kernel"],
+                             act_scale=scale(stats["patch_kernel"]))
+    v["proj"] = dict(v["proj"], act_scale=scale(stats["proj"]))
+    blocks = {k: dict(bv) for k, bv in v["blocks"].items()}
+    for outer, key in _BLOCK_WEIGHTS:
+        blocks[outer][key] = dict(
+            blocks[outer][key],
+            act_scale=scale(stats["blocks"][outer][key]))
+    v["blocks"] = blocks
+    new["visual"] = v
     return new

@@ -126,6 +126,77 @@ def test_quantized_encode_matches_full_precision(mode):
     assert cos.min() > 0.999
 
 
+def test_attach_act_scales_structure_and_static_qdot():
+    """Static activation scales: attach_act_scales puts a [L] act_scale
+    on every stacked block weight (lax.scan slices it in lock-step with
+    the int8/scale leaves) and a scalar on the unstacked stem/head
+    weights; qdot's static branch then matches the reference product
+    within quantization noise with NO per-row reduce."""
+    import jax
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.ops.preprocess import normalize_images
+    from clip_calibration_tpu.ops.quant import (
+        attach_act_scales, calibrate_image_act_scales, qdot,
+        quantize_clip_params, quantize_int8)
+
+    cfg = M.PRESETS["ViT-Test"]
+    params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    qp = quantize_clip_params(params)
+    imgs = (jax.random.uniform(jax.random.PRNGKey(2),
+                               (4, 32, 32, 3)) * 255).astype(jnp.uint8)
+    stats = calibrate_image_act_scales(qp, cfg, normalize_images(imgs))
+    qps = attach_act_scales(qp, stats)
+
+    L = cfg.vision_layers
+    v = qps["visual"]
+    assert v["blocks"]["attn"]["wqkv"]["act_scale"].shape == (L,)
+    assert v["blocks"]["mlp"]["w_proj"]["act_scale"].shape == (L,)
+    assert v["patch_kernel"]["act_scale"].shape == ()
+    assert v["proj"]["act_scale"].shape == ()
+    # the non-static pytree is untouched
+    assert "act_scale" not in qp["visual"]["patch_kernel"]
+
+    # unit: static vs manual computation at a known scale
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+    pair = quantize_int8(jnp.asarray(
+        rng.normal(size=(16, 12)).astype(np.float32)))
+    amax = float(np.abs(np.asarray(x)).max())
+    spair = dict(pair, act_scale=jnp.float32(amax / 127.0))
+    ref = np.asarray(x) @ (np.asarray(pair["int8"], np.float32)
+                           * np.asarray(pair["scale"]))
+    got = np.asarray(qdot(x, spair, "w8a8"))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_static_w8a8_encode_matches_full_precision():
+    """encode_image with calibrated static act scales tracks the fp32
+    path as closely as the dynamic w8a8 path does (cosine > 0.999 on
+    the fixture backbone) — the speed lever costs no extra accuracy
+    when the calibration batch covers the serving distribution."""
+    import jax
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.backbone import load_clip_backbone
+    from clip_calibration_tpu.ops.quant import (
+        attach_act_scales, calibrate_image_act_scales,
+        quantize_clip_params)
+
+    params, cfg = load_clip_backbone("ViT-Test", "float32")
+    qp = quantize_clip_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3),
+                           jnp.float32, -1, 1)
+    qps = attach_act_scales(qp, calibrate_image_act_scales(qp, cfg, x))
+    full = np.asarray(M.normalize(
+        M.encode_image(params, cfg, x, dtype=jnp.float32)))
+    quant = np.asarray(M.normalize(
+        M.encode_image(qps, cfg, x, dtype=jnp.float32, qmode="w8a8")))
+    cos = (full * quant).sum(axis=-1)
+    assert cos.min() > 0.999
+
+
 def test_resnet_quantization_rejected():
     import jax
     from clip_calibration_tpu.models import clip as M
