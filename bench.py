@@ -152,11 +152,28 @@ def _quant_serving(params, cfg, chained, n_iters=N_ITERS) -> dict:
     if os.environ.get("BENCH_SKIP_QUANT"):
         return {"skipped": True}
     try:
-        from clip_calibration_tpu.ops.quant import quantize_clip_params
+        from clip_calibration_tpu.ops.preprocess import normalize_images
+        from clip_calibration_tpu.ops.quant import (
+            attach_act_scales, calibrate_image_act_scales,
+            quantize_clip_params)
         qparams = quantize_clip_params(params)
         res = cfg.image_resolution
+        cal = (jax.random.uniform(
+            jax.random.PRNGKey(7), (32, res, res, 3)) * 255
+        ).astype(jnp.uint8)
+        sparams = attach_act_scales(
+            qparams,
+            calibrate_image_act_scales(qparams, cfg,
+                                       normalize_images(cal)))
         out = {}
-        for batch, mode in ((8, "int8"), (256, "w8a8")):
+        # batch 8: weight-bandwidth regime, weight-only int8;
+        # batch 256: compute-bound regime, w8a8 with STATIC calibrated
+        # activation scales (the production configuration — dynamic
+        # per-row quantize measured 0.92x in round 4, the static
+        # variant is what rides the MXU double-rate path for a net
+        # win; docs/ROOFLINE.md "w8a8 decomposition"). The dynamic
+        # rate is recorded alongside for the regression story.
+        for batch, mode in ((8, "int8"), (256, "w8a8_static")):
             images = (jax.random.uniform(
                 jax.random.PRNGKey(5), (batch, res, res, 3)) * 255
             ).astype(jnp.uint8)
@@ -172,12 +189,24 @@ def _quant_serving(params, cfg, chained, n_iters=N_ITERS) -> dict:
                 return sorted(trials)[1]
 
             bf16 = rate(params, "dequant")
-            q = rate(qparams, "dequant" if mode == "int8" else mode)
-            out[f"batch{batch}_{mode}"] = {
-                "bf16_images_per_s": round(bf16, 1),
-                f"{mode}_images_per_s": round(q, 1),
-                "speedup": round(q / bf16, 3),
-            }
+            if mode == "int8":
+                q = rate(qparams, "dequant")
+                entry = {
+                    "bf16_images_per_s": round(bf16, 1),
+                    "int8_images_per_s": round(q, 1),
+                    "speedup": round(q / bf16, 3),
+                }
+            else:
+                q = rate(sparams, "w8a8")
+                dyn = rate(qparams, "w8a8")
+                entry = {
+                    "bf16_images_per_s": round(bf16, 1),
+                    "w8a8_static_images_per_s": round(q, 1),
+                    "w8a8_dynamic_images_per_s": round(dyn, 1),
+                    "speedup": round(q / bf16, 3),
+                    "dynamic_speedup": round(dyn / bf16, 3),
+                }
+            out[f"batch{batch}_{mode}"] = entry
         return out
     except Exception as e:  # noqa: BLE001 — contract line must print
         print(f"quant serving bench failed: {e!r}", file=sys.stderr,

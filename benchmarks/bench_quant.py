@@ -79,7 +79,8 @@ _PROBE_WORDS = (
     "surfboard racket glove helmet lamp").split()
 
 
-def _agreement_report(params, qparams, cfg, batch: int = 64) -> dict:
+def _agreement_report(params, qparams, sparams, cfg,
+                      batch: int = 64) -> dict:
     """Prediction drift of the quantized paths vs the bf16 path on the
     LOADED backbone: zero-shot top-1 agreement over a fixed 64-class
     probe prompt set, max softmax-probability drift, and mean image-
@@ -112,9 +113,10 @@ def _agreement_report(params, qparams, cfg, batch: int = 64) -> dict:
 
     ref_f, ref_p = jax.device_get(probe(params, images, "dequant"))
     out = {"probe_batch": batch, "probe_classes": len(_PROBE_WORDS)}
-    for mode in ("int8", "w8a8"):
+    for mode, p_ in (("int8", qparams), ("w8a8", qparams),
+                     ("w8a8_static", sparams)):
         f, p = jax.device_get(probe(
-            qparams, images, "dequant" if mode == "int8" else mode))
+            p_, images, "dequant" if mode == "int8" else "w8a8"))
         out[mode] = {
             "top1_agreement": round(
                 float((p.argmax(-1) == ref_p.argmax(-1)).mean()), 4),
@@ -140,23 +142,39 @@ def main(argv):
     # checkpoint actually being deployed
     params, cfg = load_clip_backbone(backbone)
     qparams = quantize_clip_params(params)
+    # static calibrated activation scales (the production w8a8
+    # configuration — ops/quant.attach_act_scales): calibrate on a
+    # 32-image batch of the same probe distribution
+    from clip_calibration_tpu.ops.quant import (attach_act_scales,
+                                                calibrate_image_act_scales)
+    res = cfg.image_resolution
+    cal = (jax.random.uniform(
+        jax.random.PRNGKey(11), (32, res, res, 3)) * 255
+    ).astype(jnp.uint8)
+    sparams = attach_act_scales(
+        qparams, calibrate_image_act_scales(qparams, cfg,
+                                            normalize_images(cal)))
     print(json.dumps({"backbone": backbone,
                       "agreement_vs_bf16": _agreement_report(
-                          params, qparams, cfg)}), flush=True)
+                          params, qparams, sparams, cfg)}), flush=True)
     for batch in batches:
         bf16 = _encode_rate(params, cfg, batch)
         int8 = _encode_rate(qparams, cfg, batch)
         w8a8 = _encode_rate(qparams, cfg, batch, qmode="w8a8")
+        w8a8s = _encode_rate(sparams, cfg, batch, qmode="w8a8")
         print(json.dumps({
             "backbone": backbone, "batch": batch,
             "bf16_images_per_s": round(bf16, 1),
             "int8_images_per_s": round(int8, 1),
             "w8a8_images_per_s": round(w8a8, 1),
+            "w8a8_static_images_per_s": round(w8a8s, 1),
             "int8_speedup": round(int8 / bf16, 3),
             "w8a8_speedup": round(w8a8 / bf16, 3),
+            "w8a8_static_speedup": round(w8a8s / bf16, 3),
             "bf16_ms_per_batch": round(1e3 * batch / bf16, 3),
             "int8_ms_per_batch": round(1e3 * batch / int8, 3),
             "w8a8_ms_per_batch": round(1e3 * batch / w8a8, 3),
+            "w8a8_static_ms_per_batch": round(1e3 * batch / w8a8s, 3),
         }), flush=True)
 
 

@@ -157,6 +157,26 @@ def shard_batch(batch_arrays, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch_arrays)
 
 
+def host_rows_allgather(x) -> np.ndarray:
+    """Global row concatenation of a HOST-side per-process array.
+
+    The loader hands each process only its slice of the global batch
+    (data/loader.py ``_make_batch``); code that pairs host values (e.g.
+    labels) with pod-GLOBAL device outputs must first reassemble the
+    global order — rank-0 rows, then rank-1, ... (the same order
+    ``put_global`` lays shards out in). Single-process: identity. A
+    pod-global jax.Array is ALREADY global — it converts via
+    ``to_host_global`` instead of being gathered twice.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return to_host_global(x)
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        x = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return x
+
+
 def to_host_global(x) -> np.ndarray:
     """``np.asarray`` that also handles pod-global jax.Arrays.
 

@@ -98,14 +98,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(DP x tensor-parallel towers)")
     p.add_argument("--preprocess-on-device", action="store_true")
     p.add_argument("--quantize", default=None,
-                   choices=["int8", "w8a8", "w8a8_kernel"],
+                   choices=["int8", "w8a8"],
                    help="int8 vision tower (ops/quant.py): 'int8' = "
                         "weight-only (half the HBM weight footprint/"
-                        "bandwidth), 'w8a8' = full int8 matmuls, "
-                        "'w8a8_kernel' = int8 matmuls via the explicit "
-                        "Mosaic kernel (pallas_int8_matmul.py; XLA "
-                        "fallback off-TPU); zero-shot/--coop-prompt "
-                        "ViT paths")
+                        "bandwidth), 'w8a8' = full int8 matmuls (pair "
+                        "with --calibration-images for the static-"
+                        "scale configuration that beats bf16 at large "
+                        "batch); zero-shot/--coop-prompt ViT paths")
+    p.add_argument("--calibration-images", default=None,
+                   help="image file or directory: representative batch "
+                        "for static w8a8 activation scales "
+                        "(ops/quant.attach_act_scales); requires "
+                        "--quantize w8a8")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="config overrides KEY VALUE ... (trainer builds)")
@@ -193,12 +197,12 @@ def build_predictor(args, classnames):
                 "--coop-prompt paths only (serving.Predictor); trainer "
                 "checkpoints need host-side geometry at the model "
                 "resolution")
-        if args.quantize:
+        if args.quantize or args.calibration_images:
             # trainers run the parity-exact eval path; quantization is
             # a Predictor-side serving transform (ops/quant.py)
             raise SystemExit(
-                "--quantize covers the zero-shot/--coop-prompt paths "
-                "only (serving.Predictor)")
+                "--quantize/--calibration-images cover the zero-shot/"
+                "--coop-prompt paths only (serving.Predictor)")
         opts = list(args.opts or [])
         if args.mesh:
             # the trainer builds its own mesh from TPU.MESH_SHAPE and
@@ -218,6 +222,15 @@ def build_predictor(args, classnames):
                   class_confidence=conf, temperature=args.temperature,
                   mesh=mesh, preprocess_on_device=args.preprocess_on_device,
                   quantize=args.quantize)
+    if args.calibration_images:
+        if args.quantize != "w8a8":
+            raise SystemExit("--calibration-images requires "
+                             "--quantize w8a8 (static activation "
+                             "scales, ops/quant.py)")
+        from .models.clip import PRESETS
+        res = PRESETS[args.backbone].image_resolution
+        kwargs["calibration_images"] = _load_images(
+            _image_paths(args.calibration_images), res, False, args)
     if args.checkpoint_dir:
         return Predictor.from_prompt_checkpoint(
             args.backbone, classnames, args.checkpoint_dir,

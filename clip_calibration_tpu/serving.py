@@ -93,11 +93,14 @@ class Predictor:
     ``quantize="int8"``: weight-only int8 on the vision tower (per-
     output-channel scales, dequant fused into each matmul — see
     ``ops/quant.py``); halves the serving weight footprint/bandwidth.
-    ``quantize="w8a8"`` additionally quantizes activations dynamically
-    per row and runs the tower matmuls int8 x int8, targeting the MXU's
-    double-rate int8 path for large-batch serving (whether XLA engages
-    it on a given chip is measured, not assumed — see
-    docs/PERFORMANCE.md; weight-only ``int8`` is the recommended mode).
+    ``quantize="w8a8"`` additionally runs the tower matmuls int8 x int8
+    on the MXU's double-rate int8 path. Pass ``calibration_images`` (a
+    representative uint8 batch, any HxW — it goes through the same
+    preprocessing as requests) to use STATIC calibrated activation
+    scales — the configuration that actually beats bf16 at large batch
+    (docs/PERFORMANCE.md "Quantized serving"); without them activations
+    quantize dynamically per row, which is calibration-free but whose
+    extra per-GEMM abs-max pass costs the int8 win back.
     Text features and calibration math stay full precision. ViT only.
     """
 
@@ -110,6 +113,7 @@ class Predictor:
                  pixel_stats=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD),
                  preprocess_on_device: bool = False,
                  quantize: Optional[str] = None,
+                 calibration_images: Optional[np.ndarray] = None,
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
@@ -122,31 +126,37 @@ class Predictor:
             backbone, "float32" if precision == "fp32" else "bfloat16")
         self.dtype = (jnp.float32 if precision == "fp32"
                       else jnp.bfloat16)
-        if quantize not in (None, "int8", "w8a8", "w8a8_kernel"):
-            raise ValueError(f"quantize={quantize!r}: expected None, "
-                             f"'int8', 'w8a8' or 'w8a8_kernel'")
-        if quantize == "w8a8_kernel" and mesh is not None:
-            # a pallas custom call cannot be GSPMD-partitioned inside
-            # the sharded predict program (ops/attention disables its
-            # kernel under tp for the same reason)
+        if quantize == "w8a8_kernel":
+            # removed from the serving surface in round 5: the Mosaic
+            # kernel measured below XLA's int8 dot at every serving
+            # shape (docs/ROOFLINE.md); it survives as a benchmarks-
+            # only contender via ops/quant.qdot(qmode="w8a8_kernel")
             raise ValueError(
-                "quantize='w8a8_kernel' does not compose with a mesh; "
-                "use 'w8a8' (XLA int8 dots partition fine) or 'int8'")
+                "quantize='w8a8_kernel' is no longer a serving mode "
+                "(strictly slower than 'w8a8' on every measured shape "
+                "— docs/ROOFLINE.md); use 'w8a8', or drive the Mosaic "
+                "kernel directly through ops/quant.qdot for benchmarks")
+        if quantize not in (None, "int8", "w8a8"):
+            raise ValueError(f"quantize={quantize!r}: expected None, "
+                             f"'int8' or 'w8a8'")
+        if calibration_images is not None and quantize != "w8a8":
+            raise ValueError(
+                "calibration_images only applies to quantize='w8a8' "
+                "(static activation scales — ops/quant.py)")
         if quantize is not None:
             # int8 on the VISION tower (the per-request hot path):
             # "int8" = weight-only — halves its HBM weight footprint/
             # bandwidth, dequant fused into each layer's matmul;
-            # "w8a8" additionally quantizes activations per row and
-            # runs int8 x int8 matmuls ("w8a8_kernel": via the explicit
-            # Mosaic kernel, ops/pallas_int8_matmul.py — XLA fallback
-            # off-TPU). The text tower stays full precision — it
-            # encodes once, right below, so the class features are
-            # exact.
+            # "w8a8" additionally runs int8 x int8 matmuls, with
+            # static calibrated activation scales when
+            # calibration_images is given (attached below, after the
+            # preprocessing constants are in scope). The text tower
+            # stays full precision — it encodes once, right below, so
+            # the class features are exact.
             from .ops.quant import quantize_clip_params
             self.params = quantize_clip_params(self.params)
         self.quantize = quantize
-        qmode = quantize if quantize in ("w8a8", "w8a8_kernel") \
-            else "dequant"
+        qmode = quantize if quantize == "w8a8" else "dequant"
 
         if _text_features is None:
             prompts = [template.format(c.replace("_", " "))
@@ -182,6 +192,23 @@ class Predictor:
         # every reference yaml uses; pass pixel_stats=(None, None) for
         # a model trained ToTensor-only, or the custom (mean, std)
         mean, std = pixel_stats
+
+        if calibration_images is not None:
+            # static w8a8: capture per-site activation absmax over the
+            # calibration batch THROUGH the same preprocessing requests
+            # get, then attach the scales (ops/quant.py). The dynamic
+            # per-row abs-max pass disappears from the serving program.
+            from .ops.quant import (attach_act_scales,
+                                    calibrate_image_act_scales)
+            cal = jnp.asarray(np.asarray(calibration_images))
+            res = cfg.image_resolution
+            if cal.shape[1:3] != (res, res):
+                cal = device_preprocess(cal, res, mean, std, dtype=dtype)
+            else:
+                cal = normalize_images(cal, mean, std, dtype=dtype)
+            self.params = attach_act_scales(
+                self.params,
+                calibrate_image_act_scales(self.params, cfg, cal))
 
         from .parallel.tp import tower_tp
 

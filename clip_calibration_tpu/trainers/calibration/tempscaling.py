@@ -27,7 +27,7 @@ import optax
 from ...engine.optim import build_optimizer
 from ...engine.registry import TRAINER_REGISTRY
 
-from ...parallel.mesh import to_host_global
+from ...parallel.mesh import host_rows_allgather, to_host_global
 from ..base_learner import VLBaseLearner
 
 
@@ -185,7 +185,7 @@ class TempScaling(VLBaseLearner):
         if base is not self.val_loader:
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
-            return cos[:n], to_host_global(labels)[:n]
+            return cos[:n], host_rows_allgather(labels)[:n]
         key = tuple(batch["impath"])
         if key not in self._cos_cache:
             # bounded by construction: the seeded eval-order val loader
@@ -198,7 +198,8 @@ class TempScaling(VLBaseLearner):
                     "val loader order is expected to be deterministic")
             images, labels = self.parse_batch_train(batch)
             cos, _, _ = self._unit_logits(images)
-            self._cos_cache[key] = (cos[:n], to_host_global(labels)[:n])
+            self._cos_cache[key] = (cos[:n],
+                                    host_rows_allgather(labels)[:n])
         elif not self._fingerprint_checked:
             # first cache hit of the run: the base model must not have
             # trained since build (cached logits would silently go stale)

@@ -341,32 +341,37 @@ def test_qdot_w8a8_kernel_cpu_fallback():
         np.asarray(qdot(x, wq, qmode="w8a8")))
 
 
-def test_predictor_w8a8_kernel_cpu_fallback():
-    """Predictor(quantize='w8a8_kernel') serves identically to 'w8a8'
-    off-TPU, end to end."""
+def test_predictor_w8a8_kernel_mode_removed():
+    """quantize='w8a8_kernel' was demoted from the serving surface in
+    round 5 (the Mosaic kernel measured strictly slower than XLA's
+    int8 dot at every serving shape — docs/ROOFLINE.md); the Predictor
+    rejects it with a pointer to the benchmarks-only qdot path."""
     from clip_calibration_tpu.serving import Predictor
 
-    images, _ = _test_images({0, 1})
+    with pytest.raises(ValueError, match="no longer a serving mode"):
+        Predictor("ViT-Test", CLASSNAMES[:2], quantize="w8a8_kernel")
+
+
+def test_predictor_static_w8a8_calibration_images():
+    """Predictor(quantize='w8a8', calibration_images=...) attaches
+    static activation scales and still agrees with dynamic w8a8 on
+    well-separated test images; calibration_images with any other
+    quantize mode is rejected."""
+    from clip_calibration_tpu.serving import Predictor
+
+    images, labels = _test_images({0, 1})
+    cal = images  # representative = the same distribution
     a = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
                   batch_size=8, quantize="w8a8")
     b = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
-                  batch_size=8, quantize="w8a8_kernel")
+                  batch_size=8, quantize="w8a8",
+                  calibration_images=cal)
+    assert "act_scale" in b.params["visual"]["patch_kernel"]
+    assert "act_scale" not in a.params["visual"]["patch_kernel"]
     out_a, out_b = a.predict(images), b.predict(images)
     np.testing.assert_array_equal(out_a["preds"], out_b["preds"])
-    np.testing.assert_array_equal(out_a["probs"], out_b["probs"])
-
-
-def test_w8a8_kernel_rejects_mesh():
-    """A pallas custom call cannot be GSPMD-partitioned inside the
-    sharded predict program — the composition is rejected up front
-    (use 'w8a8'/'int8' under a mesh)."""
-    import jax
-
-    from clip_calibration_tpu.parallel.mesh import make_mesh
-    from clip_calibration_tpu.serving import Predictor
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the virtual 8-device CPU mesh")
-    with pytest.raises(ValueError, match="w8a8_kernel.*mesh"):
-        Predictor("ViT-Test", CLASSNAMES, quantize="w8a8_kernel",
-                  mesh=make_mesh((4, 2), ("data", "model")))
+    np.testing.assert_allclose(out_a["probs"], out_b["probs"],
+                               atol=0.05)
+    with pytest.raises(ValueError, match="calibration_images"):
+        Predictor("ViT-Test", CLASSNAMES[:2], quantize="int8",
+                  calibration_images=cal)
