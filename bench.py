@@ -103,6 +103,9 @@ def main(trainers=None):
     # bound small batch, w8a8 at the compute-bound large batch) — reuses
     # this function's params/chained-timing machinery
     quant = _quant_serving(params, cfg, chained)
+    # secondary: the HTTP serving layer's device-bound path under
+    # concurrency (DynamicBatcher coalescing win at ViT-B/16)
+    serving = _serving_concurrency()
     # secondary: full CoOp-style train step (fwd+bwd through both towers
     # + optax update) at the reference's CoOp batch size
     train_ips = _train_step_throughput()
@@ -127,6 +130,7 @@ def main(trainers=None):
         "coop_train_step_images_per_s": round(train_ips, 1),
         "eval_pipeline_images_per_s": round(eval_ips, 1),
         "quant_serving": quant,
+        "serving_concurrency": serving,
         "trainer_steps": trainers,
         "notes": "vs_baseline = MFU = achieved / 197 TFLOP/s nominal v5e "
                  "bf16 roofline (reference publishes no throughput "
@@ -211,6 +215,48 @@ def _quant_serving(params, cfg, chained, n_iters=N_ITERS) -> dict:
     except Exception as e:  # noqa: BLE001 — contract line must print
         print(f"quant serving bench failed: {e!r}", file=sys.stderr,
               flush=True)
+        return {"error": repr(e)}
+
+
+def _serving_concurrency() -> dict:
+    """The HTTP layer's device-bound serving path at ViT-B/16: N client
+    threads submitting single images through ``DynamicBatcher`` into
+    ``Predictor.predict`` (the direct measurement —
+    ``benchmarks/bench_http.py``; the end-to-end HTTP rows are
+    host-bound on this 1-vCPU box and live there, labeled as such).
+    Reports req/s, mean coalesced batch and p50/p95 latency for the
+    8 ms coalescing budget vs the 0 ms (unbatched) baseline.
+    Failure-isolated; skippable with BENCH_SKIP_SERVING=1."""
+    import os
+    import sys
+    if os.environ.get("BENCH_SKIP_SERVING"):
+        return {"skipped": True}
+    try:
+        import os.path as osp
+        sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)),
+                                    "benchmarks"))
+        from bench_http import PROBE_CLASSES, _run_direct
+
+        from clip_calibration_tpu.serving import Predictor
+
+        n_clients, per_client = 32, 8
+        pred = Predictor("ViT-B/16", PROBE_CLASSES, batch_size=64)
+        out = {"n_clients": n_clients,
+               "requests_per_client": per_client, "batch_cap": 64}
+        for max_wait_ms, label in ((8.0, "batched"), (0.0, "unbatched")):
+            rate, mean_batch, p50, p95 = _run_direct(
+                pred, pred.cfg.image_resolution, n_clients, per_client,
+                max_wait_ms)
+            out[label] = {"requests_per_s": round(rate, 1),
+                          "mean_batch": mean_batch,
+                          "p50_ms": p50, "p95_ms": p95}
+        out["coalescing_speedup"] = round(
+            out["batched"]["requests_per_s"]
+            / out["unbatched"]["requests_per_s"], 2)
+        return out
+    except Exception as e:  # noqa: BLE001 — contract line must print
+        print(f"serving concurrency bench failed: {e!r}",
+              file=sys.stderr, flush=True)
         return {"error": repr(e)}
 
 

@@ -63,12 +63,20 @@ def _run_load(url: str, blobs, n_clients: int, per_client: int):
             req = urllib.request.Request(
                 url + "/predict", data=blobs[(i + r) % len(blobs)],
                 headers={"Content-Type": "image/png"}, method="POST")
-            try:
-                with urllib.request.urlopen(req, timeout=300) as resp:
-                    resp.read()
-            except Exception as e:  # noqa: BLE001 — reported below
-                errs.append(repr(e))
-                return
+            # one retry: the stdlib server's listen backlog drops
+            # connections under a many-client burst on a 1-vCPU host
+            # (the HTTP rows are host-bound sanity checks — see module
+            # docstring — so a retried connect is load, not cheating)
+            for attempt in (0, 1):
+                try:
+                    with urllib.request.urlopen(req, timeout=300) as resp:
+                        resp.read()
+                    break
+                except Exception as e:  # noqa: BLE001 — reported below
+                    if attempt:
+                        errs.append(repr(e))
+                        return
+                    time.sleep(0.05 * (i % 8))
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(n_clients)]
@@ -85,7 +93,14 @@ def _run_load(url: str, blobs, n_clients: int, per_client: int):
 
 def _run_direct(pred, resolution: int, n_clients: int,
                 per_client: int, max_wait_ms: float):
-    """The batcher -> predictor path under concurrency, no HTTP."""
+    """The batcher -> predictor path under concurrency, no HTTP.
+
+    Returns (requests/s, mean coalesced batch, p50 ms, p95 ms) — the
+    per-request latency is submit-to-result, i.e. it includes the
+    coalescing wait, so ``batched`` trades ~max_wait_ms of p50 for the
+    throughput win. Requests rotate over a 16-image pool so coalesced
+    device batches are (virtually) never byte-identical — the remote
+    tunnel elides repeated identical dispatches (CLAUDE.md)."""
     from clip_calibration_tpu.http_server import DynamicBatcher
 
     rng = np.random.default_rng(4)
@@ -93,12 +108,18 @@ def _run_direct(pred, resolution: int, n_clients: int,
                          dtype=np.uint8) for _ in range(16)]
     b = DynamicBatcher(pred.predict, pred.batch_size,
                        max_wait_ms=max_wait_ms)
+    lat_lock = threading.Lock()
+    lats = []
     try:
-        def client(i, n):
+        def client(i, n, record=True):
             for r in range(n):
+                t0 = time.perf_counter()
                 b.submit(imgs[(i + r) % len(imgs)]).result(timeout=300)
+                if record:
+                    with lat_lock:
+                        lats.append(time.perf_counter() - t0)
 
-        client(0, 2)  # compile + warmup
+        client(0, 2, record=False)  # compile + warmup
         skip = len(b.snapshot_sizes())  # drop ALL warmup batches
         threads = [threading.Thread(target=client, args=(i, per_client))
                    for i in range(n_clients)]
@@ -110,7 +131,9 @@ def _run_direct(pred, resolution: int, n_clients: int,
         dt = time.perf_counter() - t0
         sizes = b.snapshot_sizes()[skip:]
         return (n_clients * per_client / dt,
-                round(float(np.mean(sizes)), 2) if sizes else None)
+                round(float(np.mean(sizes)), 2) if sizes else None,
+                round(float(np.percentile(lats, 50)) * 1e3, 1),
+                round(float(np.percentile(lats, 95)) * 1e3, 1))
     finally:
         b.close()
 
@@ -133,6 +156,16 @@ def main(argv):
 
     pred = Predictor(backbone, PROBE_CLASSES, batch_size=batch_size)
     res = pred.cfg.image_resolution
+    # pre-warm EVERY power-of-two bucket OUTSIDE the batcher: a cold
+    # compile (~100 s for ViT-B/16 b1 over the tunnel) inside the
+    # timed loop would dominate p95 and could trip the per-request
+    # future timeout (serve.py --http warms the extremes; a benchmark
+    # must not time any compile)
+    b = 1
+    while b <= batch_size:
+        pred.predict(np.zeros((b, res, res, 3), np.uint8))
+        b *= 2
+    pred.predict(np.zeros((batch_size, res, res, 3), np.uint8))
     cfg = get_cfg_default()
     cfg.INPUT.INTERPOLATION = "bicubic"
     cfg.INPUT.SIZE = (res, res)
@@ -140,8 +173,8 @@ def main(argv):
     blobs = _image_blobs(res)
 
     for max_wait_ms, label in ((8.0, "batched"), (0.0, "unbatched")):
-        rate, mean_batch = _run_direct(pred, res, n_clients, per_client,
-                                       max_wait_ms)
+        rate, mean_batch, p50, p95 = _run_direct(
+            pred, res, n_clients, per_client, max_wait_ms)
         print(json.dumps({
             "backbone": backbone, "mode": label,
             "measurement": "direct",
@@ -150,6 +183,7 @@ def main(argv):
             "batch_size": batch_size, "max_wait_ms": max_wait_ms,
             "requests_per_s": round(rate, 1),
             "mean_batch": mean_batch,
+            "p50_ms": p50, "p95_ms": p95,
         }), flush=True)
 
         srv = serve_http(":0", pred, PROBE_CLASSES, transform,

@@ -165,6 +165,10 @@ class PredictionServer(ThreadingHTTPServer):
     """
 
     daemon_threads = True
+    # many clients connect in one burst when a fleet retries together;
+    # the stdlib default backlog of 5 resets the overflow instead of
+    # queueing it (measured under benchmarks/bench_http.py load)
+    request_queue_size = 128
 
     def __init__(self, addr, predictor, classnames: Sequence[str],
                  transform: Callable, topk: int = 1,

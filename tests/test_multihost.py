@@ -14,10 +14,12 @@ gate is eval-only deliberately: a TRAINED comparison is chaotic on the
 tiny random-init backbone (sharded reductions accumulate in a
 different order; ``tests/test_parallel.py`` bounds the per-step
 difference at rel 2e-5, but high-LR steps on a random model amplify
-it), while eval has no accumulation feedback loop. The full pod
-pipeline incl. CoOp training and TempScaling scaling-training was
-additionally hand-driven green on the same 2-process cluster
-(identical metrics across ranks).
+it), while eval has no accumulation feedback loop. The hybrid-mesh
+test below additionally gates CoCoOp/ProDA class-sharded steps, a
+TempScaling scaling epoch, and a tensor-parallel encode across the
+2-process cluster — coverage that caught a real pod bug in round 5
+(TempScaling paired pod-global logits with host-local labels;
+``parallel/mesh.host_rows_allgather``).
 """
 
 import os
