@@ -1,11 +1,14 @@
-"""int8 weight-only serving: measured speedup vs the bf16 path.
+"""int8 serving modes: measured speedup vs the bf16 path, per batch.
 
-The quantized tower (``ops/quant.py``) halves the vision tower's HBM
-weight traffic; at small serving batches the weight read dominates the
-encode (the activations are tiny), so the win should approach 2x at
-batch 1-8 and fade as the batch grows compute-bound. This benchmark
-measures exactly that crossover: per batch size, the image-encode rate
-with bf16 weights vs int8 weights on the SAME backbone.
+Per batch size, the image-encode rate with bf16 weights vs the three
+int8 modes (weight-only dequant, dynamic w8a8, static-calibrated w8a8)
+on the SAME backbone. Measured crossover (docs/PERFORMANCE.md): static
+w8a8 wins every batch >= 8 (1.23-1.32x), dynamic wins at batch 1
+(1.10x), weight-only is ~neutral for speed at every batch — the
+original "weight-bandwidth-bound, approaches 2x at batch 1-8"
+expectation was REFUTED by the batch-8 decomposition
+(``probe_w8a8_decompose.py``: the win does not grow with quantized
+weight bytes; small-batch encode is dispatch/non-GEMM-bound here).
 
 Tunnel methodology (see bench.py): iterations are chained inside one
 jit with a data dependence and only a scalar is fetched, because the

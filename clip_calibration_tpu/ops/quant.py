@@ -108,6 +108,14 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
           eat the entire double-rate win (measured 0.92x end-to-end,
           ``benchmarks/probe_w8a8_decompose.py`` has the per-group
           breakdown).
+    - int8 pair + ``qmode="w8a8_dynamic"``: w8a8 with the dynamic
+      per-row activation path FORCED, ignoring any attached
+      ``act_scale``. The serving predictor traces this for the
+      1-row bucket, the one regime where the measured ordering
+      inverts: a per-row scale on a single row is nearly free while
+      the static epilogue has no rows to amortize over (b1: dynamic
+      1.10x vs static 0.89x bf16; static already wins at b2 —
+      docs/PERFORMANCE.md crossover sweep).
 
     Contracts x's last axis with w's first; any leading x batch dims
     ride along (matching ``jnp.dot`` for 2D w).
@@ -128,8 +136,8 @@ def qdot(x: jnp.ndarray, w: Any, qmode: str = "dequant") -> jnp.ndarray:
 
             return w8a8_matmul(x, w["int8"], w["scale"])
         qmode = "w8a8"
-    assert qmode == "w8a8", qmode
-    if "act_scale" in w:
+    assert qmode in ("w8a8", "w8a8_dynamic"), qmode
+    if qmode == "w8a8" and "act_scale" in w:
         # static calibrated scale: a per-(layer,)tensor scalar — the
         # quantize has no reduction, so XLA fuses it into the producer
         s = w["act_scale"]

@@ -100,7 +100,12 @@ class Predictor:
     scales — the configuration that actually beats bf16 at large batch
     (docs/PERFORMANCE.md "Quantized serving"); without them activations
     quantize dynamically per row, which is calibration-free but whose
-    extra per-GEMM abs-max pass costs the int8 win back.
+    extra per-GEMM abs-max pass costs the int8 win back. With static
+    scales attached, compiled buckets below 8 rows automatically trace
+    the dynamic epilogue instead (same int8 weights, zero extra
+    memory): the measured ordering inverts at tiny batches (b1 static
+    0.89x vs dynamic 1.10x bf16), so each bucket gets the epilogue
+    that wins at its shape.
     Text features and calibration math stay full precision. ViT only.
     """
 
@@ -220,6 +225,8 @@ class Predictor:
                 "serve ResNet backbones on a data-only mesh "
                 "(parallel/tp.py)")
 
+        has_static_scales = calibration_images is not None
+
         def encode(params, images):
             if images.shape[1:3] != (cfg.image_resolution,
                                      cfg.image_resolution):
@@ -230,9 +237,21 @@ class Predictor:
                                       mean, std, dtype=dtype)
             else:
                 x = normalize_images(images, mean, std, dtype=dtype)
+            # batch size is static under jit, so the int8 epilogue is
+            # picked per compiled bucket: at batch 1 the static
+            # epilogue has too few rows to amortize and the measured
+            # ordering inverts (b1 static 0.89x vs dynamic 1.10x bf16;
+            # static already wins at b2 1.08x and every larger batch —
+            # docs/PERFORMANCE.md crossover sweep), so the 1-row
+            # bucket traces the dynamic per-row path over the SAME
+            # int8 weights; everything else keeps the calibrated
+            # static scales.
+            q = qmode
+            if has_static_scales and images.shape[0] < 2:
+                q = "w8a8_dynamic"
             return M.normalize(M.encode_image(params, cfg, x,
                                               dtype=dtype, tp=tp,
-                                              qmode=qmode))
+                                              qmode=q))
 
         def predict_step(params, text_features, images, scale, conf):
             # encode + calibrated scoring in ONE program: the image

@@ -375,3 +375,42 @@ def test_predictor_static_w8a8_calibration_images():
     with pytest.raises(ValueError, match="calibration_images"):
         Predictor("ViT-Test", CLASSNAMES[:2], quantize="int8",
                   calibration_images=cal)
+
+
+def test_qdot_w8a8_dynamic_ignores_act_scale():
+    """qmode='w8a8_dynamic' forces the per-row activation path even
+    when the pair carries a static act_scale — bitwise-equal to the
+    dynamic path on the scale-free pair (the serving predictor traces
+    this for the 1-row bucket; docs/PERFORMANCE.md crossover)."""
+    import jax.numpy as jnp
+    from clip_calibration_tpu.ops.quant import qdot, quantize_int8
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+    pair = quantize_int8(jnp.asarray(
+        rng.normal(size=(16, 12)).astype(np.float32)))
+    spair = dict(pair, act_scale=jnp.float32(0.5))  # wrong on purpose
+    dyn = np.asarray(qdot(x, pair, "w8a8"))
+    forced = np.asarray(qdot(x, spair, "w8a8_dynamic"))
+    np.testing.assert_array_equal(dyn, forced)
+    # sanity: the static path DOES consume the (wrong) scale
+    static = np.asarray(qdot(x, spair, "w8a8"))
+    assert np.abs(static - dyn).max() > 0
+
+
+def test_static_w8a8_b1_bucket_uses_dynamic_epilogue():
+    """A static-calibrated predictor serving a single image (the 1-row
+    bucket) traces the dynamic per-row epilogue: its outputs are
+    bitwise-identical to an uncalibrated dynamic-w8a8 predictor at
+    that bucket, while any batch >= 2 runs the static scales
+    (docs/PERFORMANCE.md: b1 is the one regime where static loses)."""
+    from clip_calibration_tpu.serving import Predictor
+
+    images, _ = _test_images({0, 1})
+    a = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                  batch_size=8, quantize="w8a8")
+    b = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                  batch_size=8, quantize="w8a8",
+                  calibration_images=images)
+    np.testing.assert_array_equal(a.predict(images[:1])["probs"],
+                                  b.predict(images[:1])["probs"])
