@@ -111,8 +111,16 @@ def main(trainers=None):
     train_ips = _train_step_throughput()
     # secondary: the calibrated eval pipeline — the paper's actual
     # workload ("calibration without sacrificing the inference speed",
-    # reference README.md:7)
+    # reference README.md:7) — plus the same pipeline over the
+    # production static-w8a8 quantized backbone (failure-isolated)
     eval_ips = _eval_pipeline_throughput()
+    try:
+        eval_q_ips = round(_eval_pipeline_throughput(qmode="w8a8"), 1)
+    except Exception as e:  # noqa: BLE001 — contract line must print
+        import sys
+        print(f"w8a8 eval pipeline bench failed: {e!r}",
+              file=sys.stderr, flush=True)
+        eval_q_ips = None
     if trainers is None:
         trainers = {"skipped": True}
 
@@ -129,6 +137,7 @@ def main(trainers=None):
         "achieved_tflops": round(achieved_tflops, 1),
         "coop_train_step_images_per_s": round(train_ips, 1),
         "eval_pipeline_images_per_s": round(eval_ips, 1),
+        "eval_pipeline_w8a8_images_per_s": eval_q_ips,
         "quant_serving": quant,
         "serving_concurrency": serving,
         "trainer_steps": trainers,
@@ -359,7 +368,8 @@ def _train_step_throughput(batch: int = 32, n_cls: int = 100,
 
 
 def _eval_pipeline_throughput(batch: int = 256, n_cls: int = 100,
-                              n_iters: int = 20) -> float:
+                              n_iters: int = 20,
+                              qmode: str = "dequant") -> float:
     """Calibrated-eval throughput: per batch, everything ``test()``
     computes on device (reference ``base_learner.py:59-152`` workload) —
     uint8 normalize + ViT-B/16 encode + fused DAC scoring
@@ -368,9 +378,27 @@ def _eval_pipeline_throughput(batch: int = 256, n_cls: int = 100,
     accumulation the evaluator consumes. Batches chained inside one jit
     with varied inputs (tunnel methodology, see ``chained``); the hosts
     loop's padded batches + pipelined fetch ride on top and are covered
-    by tests (base_learner pipelined eval, loader benchmark)."""
+    by tests (base_learner pipelined eval, loader benchmark).
+
+    ``qmode="w8a8"`` runs the same pipeline over static-calibrated int8
+    weights (the production quantized serving mode, ``ops/quant``) —
+    the reference's headline is "calibration without sacrificing the
+    inference speed" (README.md:7); this measures calibration at
+    FASTER-than-bf16 inference speed."""
     cfg = M.PRESETS["ViT-B/16"]
     params = M.init_clip(jax.random.PRNGKey(0), cfg)
+    if qmode == "w8a8":
+        from clip_calibration_tpu.ops.quant import (
+            attach_act_scales, calibrate_image_act_scales,
+            quantize_clip_params)
+        qp = quantize_clip_params(params)
+        res_ = cfg.image_resolution
+        cal = (jax.random.uniform(
+            jax.random.PRNGKey(7), (32, res_, res_, 3)) * 255
+        ).astype(jnp.uint8)
+        params = attach_act_scales(
+            qp, calibrate_image_act_scales(qp, cfg,
+                                           normalize_images(cal)))
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
     txt = M.normalize(jax.random.normal(
         k1, (n_cls, cfg.embed_dim), jnp.float32)).astype(jnp.bfloat16)
@@ -387,7 +415,8 @@ def _eval_pipeline_throughput(batch: int = 256, n_cls: int = 100,
         def body(carry, i):
             correct, confsum = carry
             x = normalize_images(images ^ i.astype(jnp.uint8))
-            img_f = M.normalize(M.encode_image(params, cfg, x))
+            img_f = M.normalize(M.encode_image(params, cfg, x,
+                                               qmode=qmode))
             probs, _ = fused_dac_scores(img_f, txt,
                                         params["logit_scale"], conf,
                                         normalized=True)

@@ -109,8 +109,15 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from clip_calibration_tpu.tools.platform import (
-        enable_compilation_cache)
+        cpu_platform_requested, enable_compilation_cache,
+        force_cpu_platform)
     enable_compilation_cache()
+    if cpu_platform_requested():
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor a
+        # CPU request via the shared workaround (tools/platform.py) so a
+        # dev-box battery run cannot grab a TPU tunnel another process
+        # owns
+        force_cpu_platform()
 
     import jax
     import jax.numpy as jnp

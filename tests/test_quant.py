@@ -398,6 +398,47 @@ def test_qdot_w8a8_dynamic_ignores_act_scale():
     assert np.abs(static - dyn).max() > 0
 
 
+def test_calibrated_eval_pipeline_static_w8a8_agrees():
+    """The full calibrated-eval pipeline (uint8 normalize + encode +
+    fused DAC scoring — the per-batch device program of the reference's
+    ``base_learner.py:59-152`` and the ``eval_pipeline_w8a8`` bench key)
+    over a static-calibrated int8 backbone agrees with the fp32
+    pipeline: same argmax class per image, probabilities within
+    quantization noise."""
+    import jax
+    import jax.numpy as jnp
+    from clip_calibration_tpu.models import clip as M
+    from clip_calibration_tpu.models.backbone import load_clip_backbone
+    from clip_calibration_tpu.ops.preprocess import normalize_images
+    from clip_calibration_tpu.ops.quant import (
+        attach_act_scales, calibrate_image_act_scales,
+        quantize_clip_params)
+    from clip_calibration_tpu.ops.scoring import fused_dac_scores
+
+    params, cfg = load_clip_backbone("ViT-Test", "float32")
+    images, _ = _test_images({0, 1, 2, 3})
+    x = normalize_images(jnp.asarray(images))
+    qp = quantize_clip_params(params)
+    sp = attach_act_scales(qp, calibrate_image_act_scales(qp, cfg, x))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    txt = M.normalize(jax.random.normal(
+        k1, (len(CLASSNAMES), cfg.embed_dim), jnp.float32))
+    conf = jax.random.uniform(k2, (len(CLASSNAMES),), jnp.float32,
+                              0.8, 1.2)
+
+    def pipeline(p, qmode):
+        img_f = M.normalize(M.encode_image(p, cfg, x, dtype=jnp.float32,
+                                           qmode=qmode))
+        probs, _ = fused_dac_scores(img_f, txt, params["logit_scale"],
+                                    conf, normalized=True)
+        return np.asarray(probs)
+
+    full = pipeline(params, "dequant")
+    quant = pipeline(sp, "w8a8")
+    np.testing.assert_array_equal(full.argmax(1), quant.argmax(1))
+    np.testing.assert_allclose(quant, full, atol=0.02)
+
+
 def test_static_w8a8_b1_bucket_uses_dynamic_epilogue():
     """A static-calibrated predictor serving a single image (the 1-row
     bucket) traces the dynamic per-row epilogue: its outputs are
