@@ -107,8 +107,17 @@ def main(trainers=None):
     # concurrency (DynamicBatcher coalescing win at ViT-B/16)
     serving = _serving_concurrency()
     # secondary: full CoOp-style train step (fwd+bwd through both towers
-    # + optax update) at the reference's CoOp batch size
+    # + optax update) at the reference's CoOp batch size, plus the same
+    # step with the frozen image tower static-w8a8 quantized
+    # (TRAINER.QUANT_FROZEN_VISION — failure-isolated)
     train_ips = _train_step_throughput()
+    try:
+        train_q_ips = round(_train_step_throughput(qmode="w8a8"), 1)
+    except Exception as e:  # noqa: BLE001 — contract line must print
+        import sys
+        print(f"w8a8 train step bench failed: {e!r}",
+              file=sys.stderr, flush=True)
+        train_q_ips = None
     # secondary: the calibrated eval pipeline — the paper's actual
     # workload ("calibration without sacrificing the inference speed",
     # reference README.md:7) — plus the same pipeline over the
@@ -136,6 +145,7 @@ def main(trainers=None):
         "device": str(dev),
         "achieved_tflops": round(achieved_tflops, 1),
         "coop_train_step_images_per_s": round(train_ips, 1),
+        "coop_train_step_w8a8_images_per_s": train_q_ips,
         "eval_pipeline_images_per_s": round(eval_ips, 1),
         "eval_pipeline_w8a8_images_per_s": eval_q_ips,
         "quant_serving": quant,
@@ -323,18 +333,31 @@ def _per_trainer_steps() -> dict:
 
 
 def _train_step_throughput(batch: int = 32, n_cls: int = 100,
-                           n_iters: int = 20) -> float:
+                           n_iters: int = 20,
+                           qmode: str = "dequant") -> float:
     """CoOp train-step throughput: grad w.r.t. prompt ctx through both
     towers + sgd update, reference batch size. Steps are chained inside
     one jit (state threaded through lax.scan, inputs varied per step) so
     the tunnel's per-dispatch round-trip latency doesn't dominate —
     this measures the device's step rate, matching how a real training
-    loop with queued-ahead dispatch behaves."""
+    loop with queued-ahead dispatch behaves.
+
+    ``qmode="w8a8"`` runs the FROZEN image tower static-calibrated int8
+    (the TRAINER.QUANT_FROZEN_VISION=w8a8 training mode — the tower is
+    off the gradient path in CoOp, so only its forward quantizes)."""
     import optax
     import __graft_entry__ as g
 
     ccfg, params, ctx, embedding, eot_pos, images, labels = g._setup(
         "ViT-B/16", n_cls=n_cls, batch=batch, n_ctx=16)
+    if qmode == "w8a8":
+        from clip_calibration_tpu.ops.quant import (
+            attach_act_scales, calibrate_image_act_scales,
+            quantize_clip_params)
+        qp = quantize_clip_params(params)
+        params = attach_act_scales(
+            qp, calibrate_image_act_scales(
+                qp, ccfg, normalize_images(images)))
     opt = optax.sgd(2e-3, momentum=0.9)
     opt_state = opt.init(ctx)
 
@@ -346,7 +369,8 @@ def _train_step_throughput(batch: int = 32, n_cls: int = 100,
             ctx, opt_state = carry
             loss, grads = jax.value_and_grad(g._loss_fn)(
                 ctx, frozen, embedding, eot_pos,
-                images ^ i.astype(jnp.uint8), labels, ccfg, 16)
+                images ^ i.astype(jnp.uint8), labels, ccfg, 16,
+                qmode)
             updates, opt_state = opt.update(grads, opt_state, ctx)
             return (optax.apply_updates(ctx, updates), opt_state), loss
         (ctx, opt_state), losses = jax.lax.scan(

@@ -54,7 +54,7 @@ N_TRIALS = 3
 N_STAGED = 4  # distinct device batches cycled to defeat tunnel elision
 
 
-def bench_one(name: str, root: str):
+def bench_one(name: str, root: str, quant: str = ""):
     import jax
     from clip_calibration_tpu.tools.platform import (
         enable_compilation_cache)
@@ -71,7 +71,8 @@ def bench_one(name: str, root: str):
          osp.join(REPO, "configs/datasets/synthetic.yaml"),
          "--config-file", osp.join(REPO, config_file),
          "--output-dir", f"/tmp/bench_trainers/{name}",
-         "TEST.NO_TEST", "True", "DATASET.NUM_SHOTS", "16"] + extra)
+         "TEST.NO_TEST", "True", "DATASET.NUM_SHOTS", "16"] + extra
+        + (["TRAINER.QUANT_FROZEN_VISION", quant] if quant else []))
     cfg = setup_cfg(args)
     trainer = build_trainer(cfg)
     trainer.train_loader_x.set_epoch(0)
@@ -107,13 +108,21 @@ def main():
     import json
     args = sys.argv[1:]
     as_json = "--json" in args
+    quant = ""
+    if "--quant" in args:  # e.g. --quant w8a8: quantized frozen tower
+        i = args.index("--quant")
+        quant = args[i + 1]
+        args = args[:i] + args[i + 2:]
     names = [a for a in args if a != "--json"] or list(PROTOCOL)
+    if quant:  # vision-prompt trainers refuse the quantized tower
+        names = [n for n in names
+                 if n not in ("MaPLe", "VPT", "PromptSRC")]
     root = os.environ.get("BENCH_ROOT", "/tmp/bench_trainers_data")
     if not as_json:
         print(f"{'trainer':<14} {'batch':>5} {'ms/step':>9} {'img/s':>8}")
     for name in names:
         try:
-            ms, ips, bs = bench_one(name, root)
+            ms, ips, bs = bench_one(name, root, quant)
             if as_json:
                 # one flushed line per trainer: a killed-on-budget run
                 # still hands its completed trainers to bench.py

@@ -150,6 +150,15 @@ def get_cfg_default() -> CN:
     # ---------------------------------------------------------------- trainer
     cfg.TRAINER = CN()
     cfg.TRAINER.NAME = ""
+    # Beyond-reference (TPU): run the FROZEN vision tower quantized
+    # during training/eval — "" (off, parity default), "int8"
+    # (weight-only, halves tower HBM), or "w8a8" (static-calibrated
+    # int8 matmuls on the MXU double-rate path; calibration batch is
+    # drawn from the train loader at build). Only trainers whose image
+    # tower takes no trainable inputs accept this (gradients never
+    # traverse the tower there — CoOp/CoCoOp/KgCoOp/ProGrad/ProDA/
+    # TaskRes/CLIP_Adapter/ZeroshotCLIP); MaPLe/VPT/PromptSRC raise.
+    cfg.TRAINER.QUANT_FROZEN_VISION = ""
 
     # ======================================================================
     # extend_cfg equivalents (reference train.py:134-269)

@@ -230,6 +230,43 @@ def calibrate_image_act_scales(qparams: Dict[str, Any], cfg,
     return jax.jit(run)(qparams, images)
 
 
+def save_act_stats(path: str, stats) -> None:
+    """Persist a calibration-stats pytree (``calibrate_image_act_scales``
+    output) as npz — the whole thing is ~50 scalars/[L]-vectors, so a
+    serving host can attach static scales without shipping the
+    calibration images (``load_act_stats`` + ``attach_act_scales``;
+    ``serving.Predictor(act_scales=path)``)."""
+    import numpy as np
+    flat = {"patch_kernel": np.asarray(stats["patch_kernel"]),
+            "proj": np.asarray(stats["proj"])}
+    for outer, key in _BLOCK_WEIGHTS:
+        flat[f"blocks.{outer}.{key}"] = np.asarray(
+            stats["blocks"][outer][key])
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+
+
+def load_act_stats(path: str) -> Dict[str, Any]:
+    """Inverse of ``save_act_stats``: npz -> the stats pytree
+    ``attach_act_scales`` consumes."""
+    import numpy as np
+    with open(path, "rb") as f:
+        data = np.load(f)
+        flat = {k: data[k] for k in data.files}
+    missing = ({"patch_kernel", "proj"}
+               | {f"blocks.{o}.{k}" for o, k in _BLOCK_WEIGHTS}) \
+        - set(flat)
+    if missing:
+        raise ValueError(
+            f"{path}: not an activation-scale file (missing "
+            f"{sorted(missing)}; write it with save_act_stats)")
+    blocks: Dict[str, Any] = {}
+    for outer, key in _BLOCK_WEIGHTS:
+        blocks.setdefault(outer, {})[key] = flat[f"blocks.{outer}.{key}"]
+    return {"patch_kernel": flat["patch_kernel"], "proj": flat["proj"],
+            "blocks": blocks}
+
+
 def attach_act_scales(qparams: Dict[str, Any], stats) -> Dict[str, Any]:
     """Copy of a quantized param pytree with static ``act_scale``
     leaves (absmax/127, zero-guarded) on every vision-tower quantized

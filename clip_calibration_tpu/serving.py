@@ -119,6 +119,7 @@ class Predictor:
                  preprocess_on_device: bool = False,
                  quantize: Optional[str] = None,
                  calibration_images: Optional[np.ndarray] = None,
+                 act_scales=None,
                  _text_features: Optional[jnp.ndarray] = None):
         self.classnames = list(classnames)
         self.batch_size = int(batch_size)
@@ -144,10 +145,16 @@ class Predictor:
         if quantize not in (None, "int8", "w8a8"):
             raise ValueError(f"quantize={quantize!r}: expected None, "
                              f"'int8' or 'w8a8'")
-        if calibration_images is not None and quantize != "w8a8":
+        if (calibration_images is not None or act_scales is not None) \
+                and quantize != "w8a8":
             raise ValueError(
-                "calibration_images only applies to quantize='w8a8' "
-                "(static activation scales — ops/quant.py)")
+                "calibration_images/act_scales only apply to "
+                "quantize='w8a8' (static activation scales — "
+                "ops/quant.py)")
+        if calibration_images is not None and act_scales is not None:
+            raise ValueError(
+                "pass calibration_images (calibrate now) OR act_scales "
+                "(previously saved stats), not both")
         if quantize is not None:
             # int8 on the VISION tower (the per-request hot path):
             # "int8" = weight-only — halves its HBM weight footprint/

@@ -113,6 +113,88 @@ class VLBaseLearner(TrainerX):
             return None
         return self.clip_params["logit_scale"]
 
+    # -- quantized frozen vision tower (beyond-reference, opt-in) -----------
+    #: True on trainers whose image tower consumes TRAINABLE prompt
+    #: inputs (MaPLe/VPT/PromptSRC) — there the tower is on the gradient
+    #: path and cannot run quantized.
+    vision_tower_trainable = False
+    #: encode_image qmode for the frozen tower ("dequant" = full
+    #: precision on plain weights; set by setup_frozen_vision).
+    vision_qmode = "dequant"
+
+    @property
+    def step_clip_params(self):
+        """The frozen CLIP pytree the jitted steps consume: the plain
+        ``clip_params`` unless ``TRAINER.QUANT_FROZEN_VISION`` swapped in
+        a vision-tower-quantized copy (text leaves always shared, so the
+        text path is bit-identical either way)."""
+        p = getattr(self, "_step_clip_params", None)
+        return self.clip_params if p is None else p
+
+    def vision_qmode_for(self, batch_rows: int) -> str:
+        """Per-batch-shape qmode: mirrors serving's per-bucket epilogue
+        selection (docs/PERFORMANCE.md crossover sweep) — a single row
+        cannot amortize the static int8 epilogue, so the b1-shaped
+        compile traces the dynamic per-row path over the same int8
+        weights (measured 1.10x vs 0.89x bf16 at b1)."""
+        if self.vision_qmode == "w8a8" and batch_rows == 1:
+            return "w8a8_dynamic"
+        return self.vision_qmode
+
+    def _calibration_images(self):
+        """One raw uint8 image batch for static activation-scale
+        calibration, preferring the train distribution."""
+        for loader in (getattr(self, "train_loader_x", None),
+                       getattr(self, "val_loader", None),
+                       getattr(self, "test_loader", None)):
+            if loader is not None and len(loader) > 0:
+                return next(iter(loader))["img"]
+        raise ValueError(
+            "TRAINER.QUANT_FROZEN_VISION=w8a8 needs at least one data "
+            "loader to draw a calibration batch from")
+
+    def setup_frozen_vision(self):
+        """Opt-in quantized frozen vision tower for training/eval
+        (``TRAINER.QUANT_FROZEN_VISION`` — see config/defaults.py).
+
+        Gradients in the accepting trainers flow only to prompt/adapter
+        /residual pytrees, never through the image tower (its features
+        enter every loss as constants w.r.t. the trainables), so running
+        it int8 changes step numerics only by quantization noise while
+        keeping the text tower, logits math and checkpoints exact.
+        Measured step speedups in docs/PERFORMANCE.md ("Quantized
+        frozen-tower training"). Call after ``clip_params``/
+        ``compute_dtype`` exist and before building the jitted steps.
+        """
+        mode = self.cfg.TRAINER.QUANT_FROZEN_VISION
+        if not mode:
+            return
+        if mode not in ("int8", "w8a8"):
+            raise ValueError(
+                f"TRAINER.QUANT_FROZEN_VISION={mode!r}: expected '', "
+                "'int8' or 'w8a8'")
+        if self.vision_tower_trainable:
+            raise ValueError(
+                f"{type(self).__name__} trains vision-side prompts — the "
+                "image tower is on the gradient path and cannot run "
+                "quantized (TRAINER.QUANT_FROZEN_VISION applies to "
+                "frozen-vision trainers only)")
+        from ..ops import quant as Q
+        from ..ops.preprocess import normalize_images
+        qp = Q.quantize_clip_params(self.clip_params)
+        if mode == "w8a8":
+            import jax.numpy as jnp
+            images = np.ascontiguousarray(self._calibration_images())
+            x = normalize_images(
+                jnp.asarray(images), *self.pixel_stats,
+                dtype=getattr(self, "compute_dtype", None) or jnp.bfloat16)
+            stats = Q.calibrate_image_act_scales(qp, self.clip_cfg, x)
+            qp = Q.attach_act_scales(qp, stats)
+        self._step_clip_params = qp
+        self.vision_qmode = "w8a8" if mode == "w8a8" else "dequant"
+        print(f"Frozen vision tower quantized: mode={mode} "
+              f"(TRAINER.QUANT_FROZEN_VISION)")
+
     # -- cache paths (reference base_learner.py:106-108,123-134) ------------
     def _base_feature_dir(self, subsample: str) -> str:
         cfg = self.cfg

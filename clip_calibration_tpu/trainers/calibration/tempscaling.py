@@ -148,6 +148,14 @@ class TempScaling(VLBaseLearner):
     def clip_params(self):
         return self.base.clip_params
 
+    @property
+    def _step_clip_params(self):
+        # TRAINER.QUANT_FROZEN_VISION is handled by the wrapped base
+        # learner (its build_model installed the quantized tower or
+        # raised); delegating satisfies the engine's never-silently-
+        # ignored check and keeps eval inference on the base's path.
+        return getattr(self.base, "_step_clip_params", None)
+
     def _fingerprint_base(self) -> float:
         total = 0.0
         for name, slot in self.base._models.items():

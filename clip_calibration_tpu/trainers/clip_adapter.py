@@ -84,13 +84,15 @@ class CLIP_Adapter(VLBaseLearner):
         opt, _ = build_optimizer(cfg, steps)
         self.opt = opt
         self.register_model("adapter", trainable, opt, opt.init(trainable))
+        self.setup_frozen_vision()
         self._build_steps()
 
     def _features(self, adapter, frozen, txt_f, images):
         x = normalize_images(images, *self.pixel_stats,
                              dtype=self.compute_dtype)
         img_f = M.encode_image(frozen, self.clip_cfg, x,
-                               dtype=self.compute_dtype)
+                               dtype=self.compute_dtype,
+                               qmode=self.vision_qmode_for(images.shape[0]))
         ax = adapter_forward(adapter, img_f)
         img_f = self.ratio * ax + (1 - self.ratio) * img_f
         return M.normalize(img_f), M.normalize(txt_f)
@@ -126,13 +128,14 @@ class CLIP_Adapter(VLBaseLearner):
         images, labels = self.parse_batch_train(batch)
         slot = self._models["adapter"]
         slot["params"], slot["opt_state"], loss = self._train_step(
-            slot["params"], slot["opt_state"], self.clip_params,
-            self.text_features, self.put_batch(images), self.put_batch(labels))
+            slot["params"], slot["opt_state"], self.step_clip_params,
+            self.text_features, self.put_batch(images),
+            self.put_batch(labels))
         return {"loss": loss}
 
     def model_inference(self, images):
         return self._infer_step(self._models["adapter"]["params"],
-                                self.clip_params, self.text_features,
+                                self.step_clip_params, self.text_features,
                                 self.put_batch(images))
 
     def convert_to_reference_state(self, name, state):

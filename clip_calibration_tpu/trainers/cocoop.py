@@ -101,6 +101,7 @@ class CoCoOp(VLBaseLearner):
         self.opt = opt
         self.register_model("prompt_learner", trainable, opt,
                             opt.init(trainable))
+        self.setup_frozen_vision()
         self._build_steps()
 
     # -- forward ----------------------------------------------------------
@@ -113,8 +114,9 @@ class CoCoOp(VLBaseLearner):
 
         x = normalize_images(images, *self.pixel_stats,
                              dtype=self.compute_dtype)
-        img_f = M.normalize(M.encode_image(frozen, ccfg, x,
-                                           dtype=self.compute_dtype))
+        img_f = M.normalize(M.encode_image(
+            frozen, ccfg, x, dtype=self.compute_dtype,
+            qmode=self.vision_qmode_for(images.shape[0])))
 
         bias = meta_net_forward(trainable["meta"],
                                 img_f.astype(jnp.float32))  # [B, D]
@@ -216,13 +218,14 @@ class CoCoOp(VLBaseLearner):
         images, labels = self.parse_batch_train(batch)
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
-            slot["params"], slot["opt_state"], self.clip_params,
+            slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels))
         return {"loss": loss}
 
     def model_inference(self, images):
         return self._infer_step(self._models["prompt_learner"]["params"],
-                                self.clip_params, self.put_batch(images))
+                                self.step_clip_params,
+                                self.put_batch(images))
 
     def convert_to_reference_state(self, name, state):
         """Inverse of convert_reference_state: ours -> torch meta_net

@@ -230,6 +230,7 @@ class CoOp(VLBaseLearner):
                             opt.init(trainable))
 
         self.post_build()  # subclass hook (e.g. zero-shot teacher feats)
+        self.setup_frozen_vision()
         self._build_steps()
 
     def post_build(self):
@@ -260,7 +261,8 @@ class CoOp(VLBaseLearner):
         x = normalize_images(images, *self.pixel_stats,
                              dtype=self.compute_dtype)
         return M.encode_image(frozen, self.clip_cfg, x,
-                              dtype=self.compute_dtype)
+                              dtype=self.compute_dtype,
+                              qmode=self.vision_qmode_for(images.shape[0]))
 
     def _loss(self, trainable, frozen, images, labels):
         """Subclass hook: returns scalar loss (default CE)."""
@@ -306,7 +308,7 @@ class CoOp(VLBaseLearner):
         images, labels = self.parse_batch_train(batch)
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
-            slot["params"], slot["opt_state"], self.clip_params,
+            slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels))
         self._cached_text_features = None  # ctx changed
         return {"loss": loss}
@@ -318,7 +320,7 @@ class CoOp(VLBaseLearner):
                 self._models["prompt_learner"]["params"],
                 self.clip_params)
         txt_f = self._cached_text_features
-        logits, img_f = self._infer_step(self.clip_params, txt_f,
+        logits, img_f = self._infer_step(self.step_clip_params, txt_f,
                                          self.put_batch(images))
         return logits, img_f, txt_f
 

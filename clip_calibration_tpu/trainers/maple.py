@@ -33,6 +33,11 @@ from .coop import build_prompt_assembly, assemble_prompts
 
 @TRAINER_REGISTRY.register()
 class MaPLe(VLBaseLearner):
+    #: vision-side prompts are TRAINABLE here: the image tower is on
+    #: the gradient path, so TRAINER.QUANT_FROZEN_VISION must refuse
+    #: (base_learner.setup_frozen_vision raises).
+    vision_tower_trainable = True
+
     fused_dac_scoring = True
 
     def check_cfg(self, cfg):

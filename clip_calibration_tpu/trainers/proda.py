@@ -117,6 +117,7 @@ class ProDA(VLBaseLearner):
         self._iter_idx = 0
         self.text_features = None  # set by set_classifier
 
+        self.setup_frozen_vision()
         self._build_steps()
 
     # -- prompt assembly ------------------------------------------------------
@@ -189,7 +190,8 @@ class ProDA(VLBaseLearner):
             x = normalize_images(images, *self.pixel_stats,
                                  dtype=self.compute_dtype)
             img_f = jax.lax.stop_gradient(M.normalize(M.encode_image(
-                frozen, self.clip_cfg, x, dtype=self.compute_dtype))
+                frozen, self.clip_cfg, x, dtype=self.compute_dtype,
+                qmode=self.vision_qmode_for(images.shape[0])))
             ).astype(jnp.float32)
 
             # ONE tower call for the n_cls*P fan-out AND the n_prompt
@@ -274,8 +276,9 @@ class ProDA(VLBaseLearner):
         def infer_step(frozen, txt_f, images):
             x = normalize_images(images, *self.pixel_stats,
                                  dtype=self.compute_dtype)
-            img_n = M.normalize(M.encode_image(frozen, self.clip_cfg, x,
-                                               dtype=self.compute_dtype))
+            img_n = M.normalize(M.encode_image(
+                frozen, self.clip_cfg, x, dtype=self.compute_dtype,
+                qmode=self.vision_qmode_for(images.shape[0])))
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(img_n.astype(jnp.float32),
                                      jnp.asarray(txt_f,
@@ -302,7 +305,7 @@ class ProDA(VLBaseLearner):
         batch_idx = jnp.asarray(self._next_prompt_batch())
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
-            slot["params"], slot["opt_state"], self.clip_params,
+            slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels), batch_idx)
         self.text_features = None  # classifier stale
         return {"loss": loss}
@@ -315,7 +318,7 @@ class ProDA(VLBaseLearner):
     def model_inference(self, images):
         if self.text_features is None:
             self.set_classifier()
-        logits, img_n = self._infer_step(self.clip_params,
+        logits, img_n = self._infer_step(self.step_clip_params,
                                          self.text_features,
                                          self.put_batch(images))
         return logits, img_n, self.text_features

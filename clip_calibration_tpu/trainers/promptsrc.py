@@ -48,6 +48,11 @@ def gpa_schedule(n_epochs: int, mean: float, std: float) -> np.ndarray:
 
 @TRAINER_REGISTRY.register()
 class PromptSRC(VLBaseLearner):
+    #: vision-side prompts are TRAINABLE here: the image tower is on
+    #: the gradient path, so TRAINER.QUANT_FROZEN_VISION must refuse
+    #: (base_learner.setup_frozen_vision raises).
+    vision_tower_trainable = True
+
     fused_dac_scoring = True
 
     def check_cfg(self, cfg):

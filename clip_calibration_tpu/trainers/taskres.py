@@ -89,6 +89,7 @@ class TaskRes(VLBaseLearner):
         self.opt = opt
         self.register_model("taskres_learner", trainable, opt,
                             opt.init(trainable))
+        self.setup_frozen_vision()
         self._build_steps()
 
     def _classifier(self, trainable):
@@ -100,7 +101,9 @@ class TaskRes(VLBaseLearner):
             x = normalize_images(images, *self.pixel_stats,
                                  dtype=self.compute_dtype)
             img_f = M.encode_image(frozen, self.clip_cfg, x,
-                                   dtype=self.compute_dtype)
+                                   dtype=self.compute_dtype,
+                                   qmode=self.vision_qmode_for(
+                                       images.shape[0]))
             logits = M.cosine_logits(img_f, txt_f, frozen["logit_scale"])
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
@@ -118,8 +121,9 @@ class TaskRes(VLBaseLearner):
             txt_n = M.normalize(self._classifier(trainable))
             x = normalize_images(images, *self.pixel_stats,
                                  dtype=self.compute_dtype)
-            img_n = M.normalize(M.encode_image(frozen, self.clip_cfg, x,
-                                               dtype=self.compute_dtype))
+            img_n = M.normalize(M.encode_image(
+                frozen, self.clip_cfg, x, dtype=self.compute_dtype,
+                qmode=self.vision_qmode_for(images.shape[0])))
             scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(img_n.astype(jnp.float32),
                                      txt_n.astype(jnp.float32).T)
@@ -132,7 +136,7 @@ class TaskRes(VLBaseLearner):
         images, labels = self.parse_batch_train(batch)
         slot = self._models["taskres_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
-            slot["params"], slot["opt_state"], self.clip_params,
+            slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels))
         return {"loss": loss}
 
@@ -177,4 +181,5 @@ class TaskRes(VLBaseLearner):
 
     def model_inference(self, images):
         return self._infer_step(self._models["taskres_learner"]["params"],
-                                self.clip_params, self.put_batch(images))
+                                self.step_clip_params,
+                                self.put_batch(images))

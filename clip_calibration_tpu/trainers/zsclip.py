@@ -51,14 +51,17 @@ class ZeroshotCLIP(VLBaseLearner):
                                                    seq_len=seq)))(
                 self.clip_params, toks)
         self.text_features = text_features
+        self.compute_dtype = dtype
+        self.setup_frozen_vision()
 
         pixel_stats = self.pixel_stats
 
         @functools.partial(jax.jit)
         def infer(params, txt_f, images):
             x = normalize_images(images, *pixel_stats, dtype=dtype)
-            img_f = M.normalize(M.encode_image(params, ccfg, x,
-                                               dtype=dtype))
+            img_f = M.normalize(M.encode_image(
+                params, ccfg, x, dtype=dtype,
+                qmode=self.vision_qmode_for(images.shape[0])))
             scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.dot(
                 img_f.astype(jnp.float32), txt_f.astype(jnp.float32).T,
@@ -70,7 +73,7 @@ class ZeroshotCLIP(VLBaseLearner):
     def model_inference(self, images):
         if not isinstance(images, jax.Array):  # staged eval inputs pass
             images = np.ascontiguousarray(images)
-        return self._infer(self.clip_params, self.text_features,
+        return self._infer(self.step_clip_params, self.text_features,
                            self.put_batch(images))
 
     def train(self):
