@@ -110,6 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "for static w8a8 activation scales "
                         "(ops/quant.attach_act_scales); requires "
                         "--quantize w8a8")
+    p.add_argument("--act-scales", default=None,
+                   help="npz of previously captured activation stats "
+                        "(ops/quant.save_act_stats): attach static "
+                        "w8a8 scales WITHOUT calibration images on "
+                        "this host; requires --quantize w8a8")
+    p.add_argument("--save-act-scales", default=None,
+                   help="after calibrating with --calibration-images, "
+                        "persist the captured stats to this npz for "
+                        "later --act-scales use")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="config overrides KEY VALUE ... (trainer builds)")
@@ -197,12 +206,13 @@ def build_predictor(args, classnames):
                 "--coop-prompt paths only (serving.Predictor); trainer "
                 "checkpoints need host-side geometry at the model "
                 "resolution")
-        if args.quantize or args.calibration_images:
+        if args.quantize or args.calibration_images or args.act_scales:
             # trainers run the parity-exact eval path; quantization is
             # a Predictor-side serving transform (ops/quant.py)
             raise SystemExit(
-                "--quantize/--calibration-images cover the zero-shot/"
-                "--coop-prompt paths only (serving.Predictor)")
+                "--quantize/--calibration-images/--act-scales cover "
+                "the zero-shot/--coop-prompt paths only "
+                "(serving.Predictor)")
         opts = list(args.opts or [])
         if args.mesh:
             # the trainer builds its own mesh from TPU.MESH_SHAPE and
@@ -231,12 +241,27 @@ def build_predictor(args, classnames):
         res = PRESETS[args.backbone].image_resolution
         kwargs["calibration_images"] = _load_images(
             _image_paths(args.calibration_images), res, False, args)
+    if args.act_scales:
+        if args.quantize != "w8a8":
+            raise SystemExit("--act-scales requires --quantize w8a8 "
+                             "(static activation scales, ops/quant.py)")
+        kwargs["act_scales"] = args.act_scales
+    if args.save_act_scales and not args.calibration_images:
+        raise SystemExit("--save-act-scales persists stats captured by "
+                         "--calibration-images (nothing to save "
+                         "without them)")
     if args.checkpoint_dir:
-        return Predictor.from_prompt_checkpoint(
+        pred = Predictor.from_prompt_checkpoint(
             args.backbone, classnames, args.checkpoint_dir,
             epoch=args.epoch, **kwargs)
-    return Predictor(args.backbone, classnames, template=args.template,
-                     **kwargs)
+    else:
+        pred = Predictor(args.backbone, classnames,
+                         template=args.template, **kwargs)
+    if args.save_act_scales:
+        from .ops.quant import save_act_stats
+        save_act_stats(args.save_act_scales, pred.act_stats)
+        print(f"activation scales saved: {args.save_act_scales}")
+    return pred
 
 
 def main(argv=None) -> int:

@@ -21,6 +21,7 @@ host-side geometry.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -106,6 +107,10 @@ class Predictor:
     memory): the measured ordering inverts at tiny batches (b1 static
     0.89x vs dynamic 1.10x bf16), so each bucket gets the epilogue
     that wins at its shape.
+    ``act_scales``: previously captured stats (an npz path written by
+    ``ops/quant.save_act_stats`` from ``self.act_stats``, or the stats
+    pytree) — the static-scale configuration without calibration
+    images on this host, bitwise-identical to calibrating live.
     Text features and calibration math stay full precision. ViT only.
     """
 
@@ -205,11 +210,16 @@ class Predictor:
         # a model trained ToTensor-only, or the custom (mean, std)
         mean, std = pixel_stats
 
+        self.act_stats = None
         if calibration_images is not None:
             # static w8a8: capture per-site activation absmax over the
             # calibration batch THROUGH the same preprocessing requests
             # get, then attach the scales (ops/quant.py). The dynamic
             # per-row abs-max pass disappears from the serving program.
+            # The captured stats stay on ``self.act_stats`` so a
+            # deployment can persist them (ops/quant.save_act_stats)
+            # and later rebuild with ``act_scales=`` instead of
+            # shipping calibration images to every serving host.
             from .ops.quant import (attach_act_scales,
                                     calibrate_image_act_scales)
             cal = jnp.asarray(np.asarray(calibration_images))
@@ -218,9 +228,17 @@ class Predictor:
                 cal = device_preprocess(cal, res, mean, std, dtype=dtype)
             else:
                 cal = normalize_images(cal, mean, std, dtype=dtype)
-            self.params = attach_act_scales(
-                self.params,
+            self.act_stats = jax.device_get(
                 calibrate_image_act_scales(self.params, cfg, cal))
+            self.params = attach_act_scales(self.params, self.act_stats)
+        elif act_scales is not None:
+            # previously captured stats: an npz path (save_act_stats)
+            # or the stats pytree itself
+            from .ops.quant import attach_act_scales, load_act_stats
+            if isinstance(act_scales, (str, os.PathLike)):
+                act_scales = load_act_stats(os.fspath(act_scales))
+            self.act_stats = act_scales
+            self.params = attach_act_scales(self.params, act_scales)
 
         from .parallel.tp import tower_tp
 
@@ -232,7 +250,7 @@ class Predictor:
                 "serve ResNet backbones on a data-only mesh "
                 "(parallel/tp.py)")
 
-        has_static_scales = calibration_images is not None
+        has_static_scales = self.act_stats is not None
 
         def encode(params, images):
             if images.shape[1:3] != (cfg.image_resolution,

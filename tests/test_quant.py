@@ -377,6 +377,43 @@ def test_predictor_static_w8a8_calibration_images():
                   calibration_images=cal)
 
 
+def test_act_scales_roundtrip_predictor(tmp_path):
+    """save_act_stats/load_act_stats + Predictor(act_scales=path):
+    a predictor rebuilt from persisted stats is BITWISE identical to
+    the one that calibrated live — the deployment path that avoids
+    shipping calibration images to serving hosts."""
+    from clip_calibration_tpu.ops.quant import (load_act_stats,
+                                                save_act_stats)
+    from clip_calibration_tpu.serving import Predictor
+
+    images, _ = _test_images({0, 1})
+    live = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                     batch_size=8, quantize="w8a8",
+                     calibration_images=images)
+    path = str(tmp_path / "scales.npz")
+    save_act_stats(path, live.act_stats)
+    loaded = load_act_stats(path)
+    assert set(loaded) == {"patch_kernel", "proj", "blocks"}
+    replay = Predictor("ViT-Test", CLASSNAMES[:2], precision="fp32",
+                       batch_size=8, quantize="w8a8", act_scales=path)
+    out_a, out_b = live.predict(images), replay.predict(images)
+    np.testing.assert_array_equal(out_a["probs"], out_b["probs"])
+    # guards: act_scales needs w8a8; both sources at once is ambiguous
+    with pytest.raises(ValueError, match="act_scales"):
+        Predictor("ViT-Test", CLASSNAMES[:2], quantize="int8",
+                  act_scales=path)
+    with pytest.raises(ValueError, match="not both"):
+        Predictor("ViT-Test", CLASSNAMES[:2], quantize="w8a8",
+                  act_scales=path, calibration_images=images)
+    # a non-scale npz is rejected with a pointer at the writer
+    import numpy as onp
+    bad = str(tmp_path / "bad.npz")
+    onp.savez(bad, foo=onp.zeros(3))
+    with pytest.raises(ValueError, match="save_act_stats"):
+        Predictor("ViT-Test", CLASSNAMES[:2], quantize="w8a8",
+                  act_scales=bad)
+
+
 def test_qdot_w8a8_dynamic_ignores_act_scale():
     """qmode='w8a8_dynamic' forces the per-row activation path even
     when the pair carries a static act_scale — bitwise-equal to the
