@@ -111,6 +111,8 @@ def main():
     quant = ""
     if "--quant" in args:  # e.g. --quant w8a8: quantized frozen tower
         i = args.index("--quant")
+        if i + 1 >= len(args):
+            raise SystemExit("--quant needs a mode (int8 | w8a8)")
         quant = args[i + 1]
         args = args[:i] + args[i + 2:]
     names = [a for a in args if a != "--json"] or list(PROTOCOL)

@@ -206,13 +206,14 @@ def build_predictor(args, classnames):
                 "--coop-prompt paths only (serving.Predictor); trainer "
                 "checkpoints need host-side geometry at the model "
                 "resolution")
-        if args.quantize or args.calibration_images or args.act_scales:
+        if args.quantize or args.calibration_images or args.act_scales \
+                or args.save_act_scales:
             # trainers run the parity-exact eval path; quantization is
             # a Predictor-side serving transform (ops/quant.py)
             raise SystemExit(
-                "--quantize/--calibration-images/--act-scales cover "
-                "the zero-shot/--coop-prompt paths only "
-                "(serving.Predictor)")
+                "--quantize/--calibration-images/--act-scales/"
+                "--save-act-scales cover the zero-shot/--coop-prompt "
+                "paths only (serving.Predictor)")
         opts = list(args.opts or [])
         if args.mesh:
             # the trainer builds its own mesh from TPU.MESH_SHAPE and

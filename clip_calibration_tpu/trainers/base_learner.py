@@ -147,11 +147,19 @@ class VLBaseLearner(TrainerX):
         for loader in (getattr(self, "train_loader_x", None),
                        getattr(self, "val_loader", None),
                        getattr(self, "test_loader", None)):
-            if loader is not None and len(loader) > 0:
-                return next(iter(loader))["img"]
+            if loader is None:
+                continue
+            # next(..., None) — serving builds carry loader stubs that
+            # report len>0 but yield nothing (serving._ServingLoaderStub)
+            batch = next(iter(loader), None)
+            if batch is not None and "img" in batch:
+                return batch["img"]
         raise ValueError(
-            "TRAINER.QUANT_FROZEN_VISION=w8a8 needs at least one data "
-            "loader to draw a calibration batch from")
+            "TRAINER.QUANT_FROZEN_VISION=w8a8 needs a data loader to "
+            "draw a calibration batch from; dataset-free serving builds "
+            "have none — serve this checkpoint with the flag overridden "
+            "(opts: TRAINER.QUANT_FROZEN_VISION '' for full precision, "
+            "or 'int8' for calibration-free weight-only quantization)")
 
     def setup_frozen_vision(self):
         """Opt-in quantized frozen vision tower for training/eval
@@ -183,12 +191,23 @@ class VLBaseLearner(TrainerX):
         from ..ops.preprocess import normalize_images
         qp = Q.quantize_clip_params(self.clip_params)
         if mode == "w8a8":
+            import jax
             import jax.numpy as jnp
             images = np.ascontiguousarray(self._calibration_images())
             x = normalize_images(
                 jnp.asarray(images), *self.pixel_stats,
                 dtype=getattr(self, "compute_dtype", None) or jnp.bfloat16)
             stats = Q.calibrate_image_act_scales(qp, self.clip_cfg, x)
+            if jax.process_count() > 1:
+                # each host calibrated on ITS slice of the data — the
+                # act_scale leaves must be identical on every process or
+                # the "replicated" frozen pytree silently diverges
+                # across the pod; absmax stats reduce with max
+                from jax.experimental import multihost_utils
+                stats = jax.tree.map(
+                    lambda a: np.max(np.asarray(
+                        multihost_utils.process_allgather(
+                            np.asarray(a))), axis=0), stats)
             qp = Q.attach_act_scales(qp, stats)
         self._step_clip_params = qp
         self.vision_qmode = "w8a8" if mode == "w8a8" else "dequant"

@@ -137,6 +137,30 @@ def test_unknown_mode_rejected(tmp_path):
             overrides={"TRAINER.QUANT_FROZEN_VISION": "fp4"})
 
 
+def test_dataset_free_serving_build_paths():
+    """A w8a8-flagged checkpoint served dataset-free has no loader to
+    draw a calibration batch from: the build must fail with the
+    override recipe, not crash in next(iter(...)); int8 (weight-only,
+    calibration-free) must build and serve."""
+    from clip_calibration_tpu.ops import quant as Q
+    from clip_calibration_tpu.serving import build_serving_trainer
+
+    with pytest.raises(ValueError, match="dataset-free serving builds"):
+        build_serving_trainer(
+            ["cat", "dog"], trainer_name="CoOp", backbone="ViT-Test",
+            opts=["INPUT.SIZE", "(32, 32)",
+                  "TRAINER.QUANT_FROZEN_VISION", "w8a8"])
+
+    served = build_serving_trainer(
+        ["cat", "dog"], trainer_name="CoOp", backbone="ViT-Test",
+        opts=["INPUT.SIZE", "(32, 32)",
+              "TRAINER.QUANT_FROZEN_VISION", "int8"])
+    assert Q.is_quantized(served.step_clip_params["visual"]["proj"])
+    logits, *_ = served.model_inference(
+        np.zeros((2, 32, 32, 3), np.float32))
+    assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
 def test_zeroshot_clip_w8a8_eval(tmp_path):
     plain = build_synthetic_trainer("ZeroshotCLIP", tmp_path / "data")
     quant = build_synthetic_trainer(
