@@ -144,6 +144,50 @@ def run_tempscaling(root: str) -> dict:
                                  6)}
 
 
+def _act_scale_leaves(tree, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == "act_scale":
+                out.append(np.asarray(v, np.float64).ravel())
+            else:
+                _act_scale_leaves(v, out)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            _act_scale_leaves(v, out)
+
+
+def run_quant_frozen(root: str) -> dict:
+    """CoOp with ``TRAINER.QUANT_FROZEN_VISION=w8a8`` under the pod:
+    each host calibrates activation scales on ITS slice of the global
+    batch, so ``setup_frozen_vision`` must max-reduce the absmax stats
+    pod-wide or the "replicated" frozen pytree silently diverges.
+    Gated by cross-rank RESULT equality (the reduce makes the scale
+    leaves identical) and by matching the single-process scales (the
+    union of the host slices IS the single-process calibration batch,
+    and per-row absmax commutes across the batch split)."""
+    from clip_calibration_tpu.engine.registry import TRAINER_REGISTRY
+
+    cfg = _base_cfg(root, "CoOp")
+    cfg.OUTPUT_DIR = os.path.join(
+        root, f"out_CoOpQ_rank{jax.process_index()}")
+    cfg.TRAINER.COOP.N_CTX = 2
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.TRAINER.QUANT_FROZEN_VISION = "w8a8"
+
+    trainer = TRAINER_REGISTRY.get("CoOp")(cfg)
+    scales = []
+    _act_scale_leaves(trainer.step_clip_params["visual"], scales)
+    if not scales:
+        raise RuntimeError("no act_scale leaves on the quantized tower")
+    batch = next(iter(trainer.train_loader_x))
+    loss = float(trainer.forward_backward(batch)["loss"])
+    logits, _, _ = trainer.model_inference(batch["img"])
+    return {"qfv_scales": np.concatenate(scales).tolist(),
+            "qfv_loss": loss,
+            "qfv_logits": to_host_global(logits).astype(
+                np.float64).round(6).tolist()}
+
+
 def run_tp_encode() -> dict:
     from clip_calibration_tpu.models import clip as M
     from clip_calibration_tpu.parallel.tp import tower_tp
@@ -182,6 +226,7 @@ def main():
     res.update(run_tp_encode())
     res.update(run_proda(root))
     res.update(run_tempscaling(root))
+    res.update(run_quant_frozen(root))
     res["n_processes"] = jax.process_count()
     print("RESULT " + json.dumps(res), flush=True)
 

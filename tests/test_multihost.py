@@ -185,3 +185,14 @@ def test_two_process_hybrid_mesh_model_axis(tmp_path):
     np.testing.assert_allclose(r0["tempscaling_loss"],
                                want["tempscaling_loss"],
                                rtol=2e-5, atol=1e-6)
+    # quantized frozen tower: the pod-wide max-reduce of per-host
+    # calibration stats must reproduce the single-process scales (the
+    # host slices partition the same global batch) and the quantized
+    # step must track it
+    np.testing.assert_allclose(r0["qfv_scales"], want["qfv_scales"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r0["qfv_loss"], want["qfv_loss"],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0["qfv_logits"]),
+                               np.asarray(want["qfv_logits"]),
+                               rtol=2e-5, atol=1e-5)
