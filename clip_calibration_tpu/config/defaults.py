@@ -160,6 +160,17 @@ def get_cfg_default() -> CN:
     # TaskRes/CLIP_Adapter/ZeroshotCLIP); MaPLe/VPT/PromptSRC raise.
     cfg.TRAINER.QUANT_FROZEN_VISION = ""
 
+    # Beyond-reference: quantized text tower for the EVAL-time class
+    # fan-outs — "" (off, parity-exact), "int8" (weight-only) or
+    # "w8a8" (static scales calibrated on the trainer's own learned
+    # prompt rows). Eval runs no gradients, so the per-request text
+    # encodes can take the int8 MXU path the training step cannot
+    # (prompt gradients flow through the text tower). Only trainers
+    # that re-run the text tower per eval request accept this
+    # (CoCoOp's per-image encodes, ProDA's set_classifier sweep);
+    # one-shot class-feature trainers raise.
+    cfg.TRAINER.QUANT_EVAL_TEXT = ""
+
     # ======================================================================
     # extend_cfg equivalents (reference train.py:134-269)
     # ======================================================================

@@ -368,9 +368,20 @@ def encode_text_embedded(
     seq_len: Optional[int] = None,
     tp=None,
     qmode: str = "dequant",
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     """Text tower over pre-embedded prompts [N, 77, D] (the PromptLearner
     path, reference TextEncoder ``trainers/classification/coop.py:47-67``).
+
+    collect_act_stats: also return absmax statistics of every quantized-
+    matmul input (the per-layer block sites and the pooled rows feeding
+    ``text_projection``) for static-scale w8a8 calibration of a frozen
+    text tower (``ops/quant.calibrate_text_act_scales``). Return becomes
+    ``(features, stats)``. Rows past a prompt's own EOT are INCLUDED in
+    the statistics deliberately: the quantized serving matmuls run over
+    those rows too, so their range is part of what the scales must
+    cover (their outputs are causally irrelevant to the pooled feature
+    either way).
 
     eot_pos: [N] index of the EOT token per row (pooling position).
     remat: see ``transformer`` — use for gradient passes over big
@@ -403,10 +414,19 @@ def encode_text_embedded(
     x = transformer(txt_p["blocks"], x, cfg.transformer_heads, mask,
                     deep_prompts=deep_prompts,
                     deep_prompt_depth=deep_prompt_depth, text_side=True,
-                    remat=remat, tp=tp, qmode=qmode)
+                    remat=remat, tp=tp, qmode=qmode,
+                    collect_act_stats=collect_act_stats)
+    stats = None
+    if collect_act_stats:
+        x, stats = x
+        stats = {"blocks": stats}
     x = layer_norm(x, txt_p["ln_final"]["scale"],
                    txt_p["ln_final"]["bias"])
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
+    if collect_act_stats:
+        stats["text_projection"] = jnp.max(
+            jnp.abs(pooled.astype(jnp.float32)))
+        return qdot(pooled, txt_p["text_projection"], qmode), stats
     return qdot(pooled, txt_p["text_projection"], qmode)
 
 

@@ -291,3 +291,56 @@ def attach_act_scales(qparams: Dict[str, Any], stats) -> Dict[str, Any]:
     v["blocks"] = blocks
     new["visual"] = v
     return new
+
+
+def calibrate_text_act_scales(qparams: Dict[str, Any], cfg,
+                              prompts: jnp.ndarray,
+                              eot_pos: jnp.ndarray,
+                              seq_len=None):
+    """Per-site activation absmax of the TEXT tower over a
+    representative embedded-prompt batch [N, 77, D]
+    (``models/clip.encode_text_embedded collect_act_stats=``).
+
+    The eval-time text fan-out (CoCoOp's per-image class encodes,
+    ProDA's ``set_classifier`` sweep) is the one serving-relevant
+    workload where the text tower runs per request; calibrating its
+    activation ranges lets it take the same static-w8a8 MXU path the
+    vision tower does (measured int8/bf16 dot ratio 1.35-1.86x at the
+    fan-out GEMM shapes — docs/ROOFLINE.md "Quantized text fan-out").
+    Unlike image calibration the inputs derive from the LEARNED prompt
+    pytree, not the data distribution, so the captured ranges are
+    deterministic given the checkpoint (no multi-host reduce needed).
+    Returns the stats pytree ``attach_text_act_scales`` consumes.
+    """
+    from ..models import clip as M
+
+    def run(p, x, e):
+        _, stats = M.encode_text_embedded(p, cfg, x, e, seq_len=seq_len,
+                                          qmode="dequant",
+                                          collect_act_stats=True)
+        return stats
+
+    return jax.jit(run)(qparams, prompts, eot_pos)
+
+
+def attach_text_act_scales(qparams: Dict[str, Any],
+                           stats) -> Dict[str, Any]:
+    """Copy of a quantized param pytree with static ``act_scale``
+    leaves on every TEXT-tower quantized weight (text twin of
+    ``attach_act_scales``; same absmax/127 semantics)."""
+    def scale(amax):
+        amax = jnp.asarray(amax, jnp.float32)
+        return jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    new = dict(qparams)
+    t = dict(qparams["text"])
+    t["text_projection"] = dict(
+        t["text_projection"], act_scale=scale(stats["text_projection"]))
+    blocks = {k: dict(bv) for k, bv in t["blocks"].items()}
+    for outer, key in _BLOCK_WEIGHTS:
+        blocks[outer][key] = dict(
+            blocks[outer][key],
+            act_scale=scale(stats["blocks"][outer][key]))
+    t["blocks"] = blocks
+    new["text"] = t
+    return new

@@ -174,6 +174,7 @@ class VLBaseLearner(TrainerX):
         frozen-tower training"). Call after ``clip_params``/
         ``compute_dtype`` exist and before building the jitted steps.
         """
+        self.setup_eval_text_quant()  # universal flag validation
         mode = self.cfg.TRAINER.QUANT_FROZEN_VISION
         if not mode:
             return
@@ -213,6 +214,83 @@ class VLBaseLearner(TrainerX):
         self.vision_qmode = "w8a8" if mode == "w8a8" else "dequant"
         print(f"Frozen vision tower quantized: mode={mode} "
               f"(TRAINER.QUANT_FROZEN_VISION)")
+
+    # -- quantized eval-time text fan-out (beyond-reference, opt-in) --------
+    #: True on trainers whose EVAL re-runs the text tower per request
+    #: (CoCoOp's per-image class encodes, ProDA's set_classifier sweep)
+    #: — the only places a quantized text tower pays. One-shot class
+    #: features (CoOp family) stay full precision by design.
+    text_eval_quant_supported = False
+    #: "", "int8" (weight-only) or "w8a8" (static calibrated scales);
+    #: set by setup_eval_text_quant from TRAINER.QUANT_EVAL_TEXT.
+    text_eval_quant = ""
+
+    def setup_eval_text_quant(self):
+        """Opt-in quantized text tower for the EVAL fan-out paths
+        (``TRAINER.QUANT_EVAL_TEXT`` — see config/defaults.py). Eval
+        runs no gradients, so unlike training (where prompt gradients
+        flow THROUGH the text tower, pinning it to full precision —
+        docs/ROOFLINE.md "text-tower bound") the per-request text
+        encodes can take the int8 MXU path. Called from
+        ``setup_frozen_vision`` so every trainer validates the flag."""
+        mode = self.cfg.TRAINER.QUANT_EVAL_TEXT
+        if not mode:
+            return
+        if mode not in ("int8", "w8a8"):
+            raise ValueError(
+                f"TRAINER.QUANT_EVAL_TEXT={mode!r}: expected '', "
+                "'int8' or 'w8a8'")
+        if not self.text_eval_quant_supported:
+            raise ValueError(
+                f"{type(self).__name__} encodes its class features once "
+                "per eval — TRAINER.QUANT_EVAL_TEXT applies to the "
+                "per-request text fan-out trainers (CoCoOp, ProDA) only")
+        self.text_eval_quant = mode
+        self._eval_text_params = None
+        print(f"Eval text fan-out quantized: mode={mode} "
+              f"(TRAINER.QUANT_EVAL_TEXT)")
+
+    def text_eval_qmode(self) -> str:
+        """encode_text qmode matching ``text_eval_quant`` ("dequant"
+        runs weight-only int8 pairs at full-precision math)."""
+        return "w8a8" if self.text_eval_quant == "w8a8" else "dequant"
+
+    def invalidate_eval_text_quant(self):
+        """Drop the cached quantized text pytree — call after any train
+        step (the w8a8 activation scales derive from the LEARNED prompt
+        pytree, so they go stale when it moves)."""
+        self._eval_text_params = None
+
+    def eval_text_clip_params(self):
+        """The frozen pytree for eval-time text encodes: the step
+        pytree with the TEXT tower's matmul weights as int8 pairs,
+        plus calibrated static activation scales under "w8a8" (lazy;
+        rebuilt after ``invalidate_eval_text_quant``). Calibration
+        prompts come from the trainer's ``_text_calibration_prompts``
+        (its own learned prompt rows) — deterministic given the
+        checkpoint, identical on every host, so no pod reduce is
+        needed (contrast ``setup_frozen_vision``, whose image stats
+        come from per-host data slices)."""
+        p = getattr(self, "_eval_text_params", None)
+        if p is not None:
+            return p
+        from ..ops import quant as Q
+        qp = Q.quantize_clip_params(self.step_clip_params,
+                                    towers=("text",))
+        if self.text_eval_quant == "w8a8":
+            prompts, eots, seq_len = self._text_calibration_prompts()
+            stats = Q.calibrate_text_act_scales(
+                qp, self.clip_cfg, prompts, eots, seq_len=seq_len)
+            qp = Q.attach_text_act_scales(qp, stats)
+        self._eval_text_params = qp
+        return qp
+
+    def _text_calibration_prompts(self):
+        """(embedded prompts [N, 77, D], eot_pos [N], seq_len) for text
+        activation-scale calibration — supporting trainers override."""
+        raise NotImplementedError(
+            f"{type(self).__name__} supports TRAINER.QUANT_EVAL_TEXT "
+            "but provides no calibration prompts")
 
     # -- cache paths (reference base_learner.py:106-108,123-134) ------------
     def _base_feature_dir(self, subsample: str) -> str:

@@ -47,6 +47,10 @@ def meta_net_forward(p, x):
 @TRAINER_REGISTRY.register()
 class CoCoOp(VLBaseLearner):
 
+    #: eval re-runs the text tower for every image's class set — the
+    #: canonical quantized-text-fan-out workload (TRAINER.QUANT_EVAL_TEXT)
+    text_eval_quant_supported = True
+
     def check_cfg(self, cfg):
         assert cfg.TRAINER.COCOOP.PREC in ("fp16", "fp32", "amp")
 
@@ -105,8 +109,13 @@ class CoCoOp(VLBaseLearner):
         self._build_steps()
 
     # -- forward ----------------------------------------------------------
-    def _forward(self, trainable, frozen, images):
-        """Returns (logits [B, n_cls], img_f, last image's txt_f)."""
+    def _forward(self, trainable, frozen, images, text_qmode="dequant"):
+        """Returns (logits [B, n_cls], img_f, last image's txt_f).
+
+        text_qmode: qdot mode for the per-chunk text encodes — "w8a8"
+        only on the EVAL step over a text-quantized ``frozen``
+        (TRAINER.QUANT_EVAL_TEXT; the train step must stay "dequant":
+        ctx gradients flow through the text tower)."""
         asm = self.asm
         emb = asm["embedding"]
         n_ctx = asm["n_ctx"]
@@ -166,7 +175,8 @@ class CoCoOp(VLBaseLearner):
             prompts = prompts.reshape(chunk * n_cls, emb.shape[1], -1)
             eot = jnp.tile(asm["eot_pos"], chunk)
             txt_f = M.encode_text_embedded(frozen, ccfg, prompts, eot,
-                                           seq_len=asm["seq_len"])
+                                           seq_len=asm["seq_len"],
+                                           qmode=text_qmode)
             txt_n = M.normalize(txt_f).reshape(chunk, n_cls, -1)
             if fanout is not None:
                 txt_n = jax.lax.with_sharding_constraint(
@@ -214,18 +224,56 @@ class CoCoOp(VLBaseLearner):
         self._train_step = train_step
         self._infer_step = infer_step
 
+        if self.text_eval_quant:
+            tq = self.text_eval_qmode()
+
+            @jax.jit
+            def infer_step_qtext(trainable, frozen, images):
+                return self._forward(trainable, frozen, images,
+                                     text_qmode=tq)
+
+            self._infer_step_qtext = infer_step_qtext
+
     def forward_backward(self, batch):
         images, labels = self.parse_batch_train(batch)
         slot = self._models["prompt_learner"]
         slot["params"], slot["opt_state"], loss = self._train_step(
             slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels))
+        if self.text_eval_quant:
+            self.invalidate_eval_text_quant()  # ctx moved: scales stale
         return {"loss": loss}
 
     def model_inference(self, images):
+        if self.text_eval_quant:
+            return self._infer_step_qtext(
+                self._models["prompt_learner"]["params"],
+                self.eval_text_clip_params(), self.put_batch(images))
         return self._infer_step(self._models["prompt_learner"]["params"],
                                 self.step_clip_params,
                                 self.put_batch(images))
+
+    def _text_calibration_prompts(self):
+        """The UNSHIFTED ctx prompts over all classes (bias = 0). Eval
+        prompts add a small per-image meta-net bias to the ctx tokens,
+        but every calibrated site sits after a LayerNorm (row ranges
+        set by the LN gain, insensitive to an input shift) — agreement
+        with the full-precision fan-out is gated by
+        tests/test_quant_eval_text.py."""
+        asm = self.asm
+        emb = asm["embedding"]
+        n_ctx = asm["n_ctx"]
+        ctx = self._models["prompt_learner"]["params"]["ctx"]
+        prompts = jnp.concatenate(
+            [emb[:, :1],
+             jnp.broadcast_to(ctx.astype(emb.dtype)[None],
+                              (emb.shape[0], n_ctx, emb.shape[-1])),
+             emb[:, 1 + n_ctx:]], axis=1)
+        return prompts, asm["eot_pos"], asm["seq_len"]
+
+    def load_model(self, directory, epoch=None):
+        super().load_model(directory, epoch)
+        self.invalidate_eval_text_quant()  # new ctx: scales stale
 
     def convert_to_reference_state(self, name, state):
         """Inverse of convert_reference_state: ours -> torch meta_net

@@ -49,6 +49,10 @@ _REMAT_MIN_TEXT_ROWS = 512
 @TRAINER_REGISTRY.register()
 class ProDA(VLBaseLearner):
 
+    #: the eval set_classifier sweep re-runs the text tower over
+    #: n_cls x n_prompt rows (TRAINER.QUANT_EVAL_TEXT quantizes it)
+    text_eval_quant_supported = True
+
     def check_cfg(self, cfg):
         assert cfg.TRAINER.PRODA.PREC in ("fp16", "fp32", "amp")
 
@@ -133,7 +137,8 @@ class ProDA(VLBaseLearner):
         return prompts.transpose(1, 0, 2, 3)  # [n_cls, P, 77, D]
 
     def _text_features_all(self, ctx_batch, pos_batch, frozen,
-                           extra_rows=None, extra_eots=None):
+                           extra_rows=None, extra_eots=None,
+                           qmode="dequant"):
         """[n_cls, P, E] normalized text features (and, when
         ``extra_rows`` [R, 77, D] is given, their normalized features
         [R, E] from the SAME tower call — the train step appends its
@@ -166,7 +171,7 @@ class ProDA(VLBaseLearner):
         txt = M.normalize(M.encode_text_embedded(
             frozen, self.clip_cfg, flat, eot,
             remat=total >= _REMAT_MIN_TEXT_ROWS,
-            seq_len=seq_len))
+            seq_len=seq_len, qmode=qmode))
         out = txt[:n_cls * P].reshape(n_cls, P, -1)
         if self._fanout is not None:
             out = jax.lax.with_sharding_constraint(
@@ -256,21 +261,30 @@ class ProDA(VLBaseLearner):
                                                  trainable)
             return optax.apply_updates(trainable, updates), opt_state, loss
 
-        @jax.jit
-        def classifier_step(trainable, frozen):
+        def make_classifier_step(qmode):
             # mean text features over ALL prompts; lax.map over the prompt
             # axis bounds peak activations to one [n_cls, 77, D] encode at
             # a time (the reference chunks by 1000 rows on OOM,
-            # proda.py:318-326)
-            def one_prompt(args):
-                ctx_p, pos_p = args
-                tf = self._text_features_all(ctx_p[None], pos_p[None],
-                                             frozen)
-                return tf[:, 0, :]  # [n_cls, E]
+            # proda.py:318-326). qmode="w8a8" is the eval-only quantized
+            # sweep over a text-quantized frozen pytree
+            # (TRAINER.QUANT_EVAL_TEXT).
+            @jax.jit
+            def classifier_step(trainable, frozen):
+                def one_prompt(args):
+                    ctx_p, pos_p = args
+                    tf = self._text_features_all(ctx_p[None], pos_p[None],
+                                                 frozen, qmode=qmode)
+                    return tf[:, 0, :]  # [n_cls, E]
 
-            per_prompt = jax.lax.map(one_prompt,
-                                     (trainable["ctx"], self.pos))
-            return per_prompt.mean(axis=0)  # [n_cls, E]
+                per_prompt = jax.lax.map(one_prompt,
+                                         (trainable["ctx"], self.pos))
+                return per_prompt.mean(axis=0)  # [n_cls, E]
+            return classifier_step
+
+        classifier_step = make_classifier_step("dequant")
+        if self.text_eval_quant:
+            self._classifier_step_qtext = make_classifier_step(
+                self.text_eval_qmode())
 
         @jax.jit
         def infer_step(frozen, txt_f, images):
@@ -308,10 +322,17 @@ class ProDA(VLBaseLearner):
             slot["params"], slot["opt_state"], self.step_clip_params,
             self.put_batch(images), self.put_batch(labels), batch_idx)
         self.text_features = None  # classifier stale
+        if self.text_eval_quant:
+            self.invalidate_eval_text_quant()  # ctx moved: scales stale
         return {"loss": loss}
 
     # -- eval ---------------------------------------------------------------
     def set_classifier(self):
+        if self.text_eval_quant:
+            self.text_features = self._classifier_step_qtext(
+                self._models["prompt_learner"]["params"],
+                self.eval_text_clip_params())
+            return
         self.text_features = self._classifier_step(
             self._models["prompt_learner"]["params"], self.clip_params)
 
@@ -326,3 +347,15 @@ class ProDA(VLBaseLearner):
     def load_model(self, directory, epoch=None):
         super().load_model(directory, epoch)
         self.text_features = None
+        self.invalidate_eval_text_quant()
+
+    def _text_calibration_prompts(self):
+        """Prompt 0's assembled rows over all classes — one
+        representative [n_cls, 77, D] slice of the sweep (every prompt
+        shares the embedding table and LN-bounded ranges; agreement
+        gated by tests/test_quant_eval_text.py)."""
+        ctx = self._models["prompt_learner"]["params"]["ctx"]
+        prompts = self._assemble(ctx[:1], self.pos[:1])  # [n_cls, 1, L, D]
+        n_cls, _, L, D = prompts.shape
+        return (prompts.reshape(n_cls, L, D), self.eot_pos,
+                self.seq_len)
