@@ -48,7 +48,7 @@ def vit_encode_flops(cfg: M.CLIPConfig) -> float:
     return float(cfg.vision_layers * per_layer + stem + head)
 
 
-def main(trainers=None):
+def main(trainers=None, quant_eval_text=None):
     from clip_calibration_tpu.tools.platform import (
         enable_compilation_cache)
     enable_compilation_cache()  # compiles dominate bench wall time
@@ -149,6 +149,7 @@ def main(trainers=None):
         "eval_pipeline_images_per_s": round(eval_ips, 1),
         "eval_pipeline_w8a8_images_per_s": eval_q_ips,
         "quant_serving": quant,
+        "quant_eval_text": quant_eval_text or {"skipped": True},
         "serving_concurrency": serving,
         "trainer_steps": trainers,
         "notes": "vs_baseline = MFU = achieved / 197 TFLOP/s nominal v5e "
@@ -343,6 +344,59 @@ def _per_trainer_steps() -> dict:
     return out
 
 
+def _quant_eval_text() -> dict:
+    """CoCoOp eval throughput with the quantized text fan-out
+    (TRAINER.QUANT_EVAL_TEXT; docs/PERFORMANCE.md "Quantized eval-time
+    text fan-out") — bf16 vs static-w8a8 text vs fully-quantized
+    (text + vision) eval, via ``bench_eval_text_quant.py --cocoop-only``
+    in ONE SUBPROCESS before this process initializes the TPU backend
+    (same ownership/budget rationale as ``_per_trainer_steps``).
+    Skippable with BENCH_SKIP_EVAL_TEXT=1."""
+    import os
+    import os.path as osp
+    import subprocess
+    import sys
+    if os.environ.get("BENCH_SKIP_EVAL_TEXT"):
+        return {"skipped": True}
+    env = dict(os.environ)
+    env.setdefault("CC_SYNTH_CLASSES", "100")
+    env.setdefault("CC_SYNTH_TRAIN", "20")
+    env.setdefault("CC_SYNTH_VAL", "2")
+    env.setdefault("CC_SYNTH_TEST", "8")
+    budget_s = float(os.environ.get("BENCH_EVAL_TEXT_BUDGET_S", "1500"))
+    script = osp.join(osp.dirname(osp.abspath(__file__)), "benchmarks",
+                      "bench_eval_text_quant.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, script, "--json", "--cocoop-only"], env=env,
+            timeout=budget_s, capture_output=True, text=True)
+        stdout, timed_out = r.stdout or "", False
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout.decode() if isinstance(e.stdout, bytes)
+                  else e.stdout) or ""
+        timed_out = True
+    key_by_mode = {"bf16": "bf16", "w8a8_text": "w8a8_text",
+                   "w8a8_text+vision": "w8a8_text_vision"}
+    out = {}
+    for line in stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        key = key_by_mode.get(row.get("mode"))
+        if key and "images_per_s" in row:
+            out[key] = {"images_per_s": row["images_per_s"],
+                        "ms_per_batch": row["ms_per_batch"],
+                        "batch": row["batch"]}
+    if "bf16" in out and "w8a8_text" in out:
+        out["speedup"] = round(out["w8a8_text"]["images_per_s"]
+                               / out["bf16"]["images_per_s"], 3)
+    for key in key_by_mode.values():
+        out.setdefault(key, {"skipped": "eval-text budget exhausted"
+                             if timed_out else "no result"})
+    return out
+
+
 def _train_step_throughput(batch: int = 32, n_cls: int = 100,
                            n_iters: int = 20,
                            qmode: str = "dequant") -> float:
@@ -510,10 +564,11 @@ def _wait_for_device(attempts: int = 4, probe_timeout: int = 240,
 
 if __name__ == "__main__":
     if _wait_for_device():
-        # trainer sweep first (own subprocess, own TPU ownership window,
-        # hard budget) so a mid-sweep tunnel stall cannot take the
-        # headline metrics down with it
-        main(trainers=_per_trainer_steps())
+        # trainer sweep + eval-text sweep first (own subprocesses, own
+        # TPU ownership windows, hard budgets) so a mid-sweep tunnel
+        # stall cannot take the headline metrics down with it
+        main(trainers=_per_trainer_steps(),
+             quant_eval_text=_quant_eval_text())
     else:
         print(json.dumps({
             "metric": "vit_b16_image_encode_throughput",

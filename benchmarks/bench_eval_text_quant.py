@@ -140,10 +140,19 @@ def main():
     from clip_calibration_tpu.tools.platform import (
         enable_compilation_cache)
     enable_compilation_cache()
-    as_json = "--json" in sys.argv[1:]
+    argv = sys.argv[1:]
+    as_json = "--json" in argv
+    # --cocoop-only: the bench.py contract subset (skips the ProDA
+    # one-shot sweep, measured noise-level, and the neutral weight-only
+    # mode — docs/ROOFLINE.md "Quantized text fan-out")
+    cocoop_only = "--cocoop-only" in argv
+    modes = [m for m in MODES if m[0] != "int8_text"] \
+        if cocoop_only else MODES
+    workloads = (bench_cocoop,) if cocoop_only \
+        else (bench_cocoop, bench_proda)
     root = os.environ.get("BENCH_ROOT", "/tmp/bench_eval_text_data")
-    for label, tmode, vmode in MODES:
-        for fn in (bench_cocoop, bench_proda):
+    for label, tmode, vmode in modes:
+        for fn in workloads:
             try:
                 row = {"mode": label, **fn(root, tmode, vmode)}
             except Exception as e:  # keep the sweep going

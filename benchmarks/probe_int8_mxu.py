@@ -144,7 +144,20 @@ def main(argv):
                      functools.partial(int8_matmul, bm=bm, bn=bn,
                                        bk=bk), int8_operands))
 
-    if len(argv) > 1:
+    if len(argv) > 1 and argv[1] == "text":
+        # the eval-time text fan-out GEMMs (TRAINER.QUANT_EVAL_TEXT):
+        # M = packed token rows of a CoCoOp eval chunk (~2048 prompt
+        # rows x ~8 truncated tokens), K/N from the ViT-B/16 text cfg
+        # (width 512, qkv 1536, mlp 2048). NOTE: compute per iteration
+        # is ~25x smaller than at the serving shapes, so the default
+        # 10/40 chain lengths are RTT-noise-dominated here — bump them
+        # (measured with 100/500: int8/bf16 = 1.56/1.35/1.58/1.86,
+        # docs/ROOFLINE.md "Quantized text fan-out")
+        global N_SHORT, N_LONG
+        N_SHORT, N_LONG = 100, 500
+        sizes = [(16384, 512, 1536), (16384, 512, 512),
+                 (16384, 512, 2048), (16384, 2048, 512)]
+    elif len(argv) > 1:
         sizes = [int(argv[1])]
     else:
         # the square headline shape + the exact per-layer GEMMs of the
